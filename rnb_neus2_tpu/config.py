@@ -1,0 +1,265 @@
+"""Configuration tree for the TPU testbed.
+
+Mirrors the reference's three config tiers (SURVEY §5.6): CLI flags
+(`src/main.cu:90-258`), the JSON network config (`configs/nerf/base.json`)
+and engine constants (`src/testbed_nerf.cu:47-72`, `nerf.h:24-26`).
+Dataclasses here are hashable/static so they can be closed over by jit.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import math
+from typing import Optional, Tuple
+
+# ---------------------------------------------------------------------------
+# Engine constants (reference: src/testbed_nerf.cu:47-72, nerf.h:24-26)
+# ---------------------------------------------------------------------------
+
+NERF_GRIDSIZE = 128            # occupancy grid resolution per cascade
+NERF_STEPS = 1024              # finest number of steps per unit length
+NERF_CASCADES = 8
+SQRT3 = math.sqrt(3.0)
+STEPSIZE = SQRT3 / NERF_STEPS  # minimum ray-march step
+MIN_CONE_STEPSIZE = STEPSIZE
+MAX_CONE_STEPSIZE = STEPSIZE * (1 << (NERF_CASCADES - 1)) * NERF_STEPS / NERF_GRIDSIZE
+NERF_MIN_OPTICAL_THICKNESS = 0.1   # occupancy threshold (non-SDF_GRID build)
+TRANSMITTANCE_EPSILON = 1e-4       # ray termination (testbed_nerf.cu:1494)
+DEFAULT_CONE_ANGLE = 1.0 / 256.0   # testbed.h:717
+TARGET_BATCH_SIZE = 1 << 18        # samples per training step (testbed.cu:2858)
+MAX_RAYS_PER_BATCH = 1 << 18
+INITIAL_RAYS_PER_BATCH = 1 << 12   # testbed.h:908
+
+
+@dataclasses.dataclass(frozen=True)
+class HashGridConfig:
+    """Multiresolution hash grid (configs/nerf/base.json:30-41)."""
+
+    n_levels: int = 14
+    n_features_per_level: int = 2
+    log2_hashmap_size: int = 19
+    base_resolution: int = 16
+    top_resolution: int = 2048
+    # progressive level unlocking (grid.h:1430-1436)
+    valid_level_scale: float = 0.02
+    base_valid_level_scale: float = 0.2
+    base_training_step: int = 100
+    aabb_scale: float = 1.0
+
+    @property
+    def per_level_scale(self) -> float:
+        # testbed.cu:2321
+        return math.exp(
+            math.log(self.top_resolution * self.aabb_scale / self.base_resolution)
+            / (self.n_levels - 1)
+        )
+
+    def level_scales(self) -> Tuple[float, ...]:
+        """Integer lattice scale per level: resolution − 1 (grid.h:979-982).
+
+        Computed in float32 like the reference (exp2f/log2f), which matters at
+        the top level: 2^(13·log2(s))·16−1 must land exactly on 2047.
+        """
+        import numpy as np
+
+        s = np.float32(self.per_level_scale)
+        out = []
+        for lvl in range(self.n_levels):
+            scale = np.exp2(np.float32(lvl) * np.log2(s)) * np.float32(
+                self.base_resolution) - np.float32(1.0)
+            resolution = int(np.ceil(scale)) + 1
+            out.append(float(resolution - 1))
+        return tuple(out)
+
+    def level_resolutions(self) -> Tuple[int, ...]:
+        return tuple(int(s) + 1 for s in self.level_scales())
+
+    def level_table_sizes(self) -> Tuple[int, ...]:
+        """Entries per level: min(next_mult(res³, 8), 2^T) (grid.h:987-999)."""
+        sizes = []
+        for res in self.level_resolutions():
+            dense = res ** 3
+            dense = -(-dense // 8) * 8  # next multiple of 8
+            sizes.append(min(dense, 1 << self.log2_hashmap_size))
+        return tuple(sizes)
+
+    def level_offsets(self) -> Tuple[int, ...]:
+        offs, acc = [], 0
+        for s in self.level_table_sizes():
+            offs.append(acc)
+            acc += s
+        offs.append(acc)
+        return tuple(offs)
+
+    @property
+    def n_table_entries(self) -> int:
+        return self.level_offsets()[-1]
+
+    @property
+    def output_dim(self) -> int:
+        return self.n_levels * self.n_features_per_level
+
+    def valid_levels(self, step: int) -> int:
+        """Progressive unlocking (grid.h:1430-1436)."""
+        if step <= 0:
+            return self.n_levels
+        v = math.ceil(
+            self.base_valid_level_scale * self.n_levels
+            + self.valid_level_scale * max(0, step - self.base_training_step)
+        )
+        return min(self.n_levels, int(v))
+
+
+@dataclasses.dataclass(frozen=True)
+class NetworkConfig:
+    """SDF + RGB MLP shapes (configs/nerf/base.json:42-75, nerf_network.h:40-66)."""
+
+    sdf_hidden_layers: int = 1
+    sdf_width: int = 64
+    rgb_hidden_layers: int = 2
+    rgb_width: int = 64
+    n_output_dims: int = 16         # both MLPs emit 16-wide padded outputs
+    sdf_bias: float = -0.1          # nerf_network.h:75 via base.json
+    variance_init: float = 0.3      # nerf_network.h:72, testbed.cu:692
+    # input widths (nerf_network.h:46-61): [xyz | hash feats] -> next mult of 16
+    @property
+    def sdf_input_dim(self) -> int:
+        return 48                   # next_multiple(3 + 28, 16) observed = 48
+
+    @property
+    def rgb_input_dim(self) -> int:
+        # [sdf_feat(16) | dir_enc(16, zeros) | xyz(3) | dsdf_dxyz(3)] -> 48
+        return 48
+
+
+@dataclasses.dataclass(frozen=True)
+class OptimizerConfig:
+    """EMA → ExponentialDecay → Adam chain (configs/nerf/base.json:4-28)."""
+
+    learning_rate: float = 1e-3
+    beta1: float = 0.9
+    beta2: float = 0.99
+    epsilon: float = 1e-15
+    l2_reg: float = 1e-6            # applied to matrix (MLP) params only
+    ema_decay: float = 0.95         # parameter EMA for inference
+    decay_start: int = 20000
+    decay_interval: int = 10000
+    decay_base: float = 0.33
+
+
+@dataclasses.dataclass(frozen=True)
+class RenderFlags:
+    """Per-run mode flags (src/main.cu:283-440; defaults = pipeline defaults).
+
+    Reference default behavior: L2 on (unless --lone), rgbplus on (unless
+    --no-rgbplus), relu/bce/supernormal/opti-lights off, albedo on (unless
+    --no-albedo).
+    """
+
+    apply_l2: bool = True
+    apply_rgbplus: bool = True
+    apply_supernormal: bool = False
+    apply_relu: bool = False
+    apply_bce: bool = False
+    apply_light_opti: bool = False
+    apply_no_albedo: bool = False
+
+    def replace(self, **kw) -> "RenderFlags":
+        return dataclasses.replace(self, **kw)
+
+
+@dataclasses.dataclass(frozen=True)
+class LossConfig:
+    """hyperparams section (configs/nerf/base.json:77-91, testbed.h:490-491)."""
+
+    mask_loss_weight: float = 1.0
+    ek_loss_weight: float = 0.01
+    anneal_end: int = 0             # 0 → cos_anneal_ratio ≡ 1
+
+
+@dataclasses.dataclass(frozen=True)
+class MarchConfig:
+    """Training ray-march shapes (TPU static-shape budget)."""
+
+    n_ladder: int = 1024            # max t-ladder points per ray (= NERF_STEPS)
+    max_samples_per_ray: int = 1024 # hard cap, = reference NERF_STEPS
+    cone_angle: float = DEFAULT_CONE_ANGLE
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainConfig:
+    max_steps: int = 10000
+    target_batch_size: int = TARGET_BATCH_SIZE
+    initial_rays_per_batch: int = INITIAL_RAYS_PER_BATCH
+    max_rays_per_batch: int = MAX_RAYS_PER_BATCH
+    density_grid_decay: float = 0.95
+    seed: int = 42
+    # fractional training (--fractional-training): after this step only SDF
+    # (density MLP + hash grid + variance) params keep updating
+    fractional_from_step: Optional[int] = None
+
+
+@dataclasses.dataclass(frozen=True)
+class TestbedConfig:
+    grid: HashGridConfig = dataclasses.field(default_factory=HashGridConfig)
+    network: NetworkConfig = dataclasses.field(default_factory=NetworkConfig)
+    optimizer: OptimizerConfig = dataclasses.field(default_factory=OptimizerConfig)
+    flags: RenderFlags = dataclasses.field(default_factory=RenderFlags)
+    loss: LossConfig = dataclasses.field(default_factory=LossConfig)
+    march: MarchConfig = dataclasses.field(default_factory=MarchConfig)
+    train: TrainConfig = dataclasses.field(default_factory=TrainConfig)
+
+    @staticmethod
+    def from_network_json(path: str, aabb_scale: float = 1.0) -> "TestbedConfig":
+        """Build from a reference-style network config JSON (base.json keys)."""
+        with open(path) as f:
+            cfg = json.load(f)
+        enc = cfg.get("encoding", {})
+        grid = HashGridConfig(
+            n_levels=enc.get("n_levels", 14),
+            n_features_per_level=enc.get("n_features_per_level", 2),
+            log2_hashmap_size=enc.get("log2_hashmap_size", 19),
+            base_resolution=enc.get("base_resolution", 16),
+            top_resolution=enc.get("top_resolution", 2048),
+            valid_level_scale=enc.get("valid_level_scale", 0.02),
+            base_valid_level_scale=enc.get("base_valid_level_scale", 0.2),
+            base_training_step=enc.get("base_training_step", 100),
+            aabb_scale=aabb_scale,
+        )
+        net = cfg.get("network", {})
+        rgb = cfg.get("rgb_network", {})
+        network = NetworkConfig(
+            sdf_hidden_layers=net.get("n_hidden_layers", 1),
+            sdf_width=net.get("n_neurons", 64),
+            rgb_hidden_layers=rgb.get("n_hidden_layers", 2),
+            rgb_width=rgb.get("n_neurons", 64),
+            sdf_bias=net.get("sdf_bias", -0.1),
+        )
+        # walk nested optimizer chain
+        opt_json = cfg.get("optimizer", {})
+        ema_decay = opt_json.get("decay", 0.95)
+        nested = opt_json.get("nested", {})
+        decay_start = nested.get("decay_start", 20000)
+        decay_interval = nested.get("decay_interval", 10000)
+        decay_base = nested.get("decay_base", 0.33)
+        adam = nested.get("nested", nested)
+        optimizer = OptimizerConfig(
+            learning_rate=adam.get("learning_rate", 1e-3),
+            beta1=adam.get("beta1", 0.9),
+            beta2=adam.get("beta2", 0.99),
+            epsilon=adam.get("epsilon", 1e-15),
+            l2_reg=adam.get("l2_reg", 1e-6),
+            ema_decay=ema_decay,
+            decay_start=decay_start,
+            decay_interval=decay_interval,
+            decay_base=decay_base,
+        )
+        hyper = cfg.get("hyperparams", {})
+        loss = LossConfig(
+            mask_loss_weight=hyper.get("mask_loss_weight", 1.0),
+            ek_loss_weight=hyper.get("ek_loss_weight", 0.01),
+            anneal_end=hyper.get("anneal_end", 0),
+        )
+        return TestbedConfig(grid=grid, network=network, optimizer=optimizer,
+                             loss=loss)

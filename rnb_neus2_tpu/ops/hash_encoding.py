@@ -1,0 +1,150 @@
+"""Multiresolution hash-grid encoding (instant-ngp style) in pure jnp.
+
+Semantics match the reference's tiny-cuda-nn fork
+(`dependencies/neus2_tcnn/include/tiny-cuda-nn/encodings/grid.h`):
+
+- per-level integer lattice scale = resolution − 1 (grid.h:979-982, a NeuS2
+  fork delta vs upstream tcnn which uses the fractional scale);
+- lattice coordinate = x * scale + 0.5, corner = floor, trilinear weights from
+  the fraction (common_device.h:416-424);
+- dense indexing (x + y·res + z·res²) for levels whose padded dense size fits
+  the table, else spatial hash  x ^ (y·2654435761) ^ (z·805459861)  mod 2^T
+  (grid.h:113-148);
+- per-level tables concatenated with offsets (grid.h:973-1005);
+- progressive level unlocking zeroes features of locked levels
+  (grid.h:254-260 via m_valid_level; formula grid.h:1430-1436).
+
+Being pure gather + linear interpolation, `jax.grad` (and grad-of-grad for the
+eikonal/shading path through ∇sdf) differentiates this natively — the
+reference needed three bespoke second-order CUDA kernels (grid.h:557-859);
+here XLA derives them. A Pallas TPU kernel with custom VJP is the planned
+fast path; this jnp version is the semantic oracle and fallback.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..config import HashGridConfig
+
+_PRIMES = (1, 2654435761, 805459861)
+
+
+class HashGridStatic:
+    """Precomputed static tables for a HashGridConfig (host-side)."""
+
+    def __init__(self, cfg: HashGridConfig):
+        self.cfg = cfg
+        self.scales = np.asarray(cfg.level_scales(), np.float32)          # (L,)
+        self.resolutions = np.asarray(cfg.level_resolutions(), np.int32)  # (L,)
+        self.table_sizes = np.asarray(cfg.level_table_sizes(), np.int32)  # (L,)
+        self.offsets = np.asarray(cfg.level_offsets()[:-1], np.int32)     # (L,)
+        # level is hashed when its dense (unpadded) size exceeds its table
+        dense = self.resolutions.astype(np.int64) ** 3
+        self.hashed = (dense > self.table_sizes).astype(np.int32)
+        self.n_entries = int(cfg.level_offsets()[-1])
+
+
+def init_table(key: jax.Array, cfg: HashGridConfig,
+               dtype=jnp.float32) -> jax.Array:
+    """Hash table init: U(−1e−4, 1e−4) (tcnn grid.h initialize_params)."""
+    static = HashGridStatic(cfg)
+    return jax.random.uniform(
+        key, (static.n_entries, cfg.n_features_per_level),
+        dtype=dtype, minval=-1e-4, maxval=1e-4)
+
+
+def _corner_indices(pos_grid: jnp.ndarray, res: jnp.ndarray,
+                    table_size: jnp.ndarray, hashed: jnp.ndarray) -> jnp.ndarray:
+    """Table index for integer lattice corners.
+
+    pos_grid: (..., 3) int32 lattice coords; res/table_size/hashed: scalars.
+    """
+    x, y, z = pos_grid[..., 0], pos_grid[..., 1], pos_grid[..., 2]
+    # dense linear index, x fastest (grid.h:132-141)
+    dense = x + y * res + z * res * res
+    # spatial hash (grid.h:113-130); uint32 wraparound arithmetic
+    ux = x.astype(jnp.uint32)
+    uy = y.astype(jnp.uint32)
+    uz = z.astype(jnp.uint32)
+    h = ux ^ (uy * jnp.uint32(_PRIMES[1])) ^ (uz * jnp.uint32(_PRIMES[2]))
+    idx = jnp.where(hashed > 0, (h % table_size.astype(jnp.uint32)).astype(jnp.int32),
+                    dense % table_size)
+    return idx
+
+
+# 8 corner offsets of the unit cube, ordered (z, y, x) minor→major like a
+# 3-bit counter (the order is irrelevant to the math, only to determinism).
+_CORNERS = np.array([[i & 1, (i >> 1) & 1, (i >> 2) & 1] for i in range(8)],
+                    np.int32)
+
+
+def encode(table: jnp.ndarray, positions: jnp.ndarray,
+           static: HashGridStatic, valid_level: jnp.ndarray | int | None = None,
+           ) -> jnp.ndarray:
+    """Encode positions through all levels.
+
+    Args:
+      table: (n_entries, F) parameter table.
+      positions: (N, 3) in [0, 1] (warped coordinates).
+      static: precomputed level tables.
+      valid_level: number of unlocked levels (progressive training); features
+        of levels >= valid_level are zeroed (grid.h:254-260). None = all.
+
+    Returns:
+      (N, L*F) features, level-major concatenation [lvl0_f0, lvl0_f1, lvl1_f0...].
+    """
+    cfg = static.cfg
+    L = cfg.n_levels
+    n = positions.shape[0]
+
+    scales = jnp.asarray(static.scales)                    # (L,)
+    res = jnp.asarray(static.resolutions)                  # (L,)
+    tsize = jnp.asarray(static.table_sizes)                # (L,)
+    offs = jnp.asarray(static.offsets)                     # (L,)
+    hashed = jnp.asarray(static.hashed)                    # (L,)
+
+    # lattice coords per level: (N, L, 3)
+    p = positions[:, None, :] * scales[None, :, None] + 0.5
+    p0 = jnp.floor(p)
+    frac = p - p0
+    p0 = p0.astype(jnp.int32)
+
+    corners = jnp.asarray(_CORNERS)                        # (8, 3)
+    # (N, L, 8, 3)
+    cpos = p0[:, :, None, :] + corners[None, None, :, :]
+
+    def level_index(lvl_cpos, r, ts, hsh, off):
+        return _corner_indices(lvl_cpos, r, ts, hsh) + off
+
+    # vmap over levels for per-level scalars → (N, L, 8)
+    idx = jax.vmap(level_index, in_axes=(1, 0, 0, 0, 0), out_axes=1)(
+        cpos, res, tsize, hashed, offs)
+
+    feats = table[idx.reshape(-1)].reshape(n, L, 8, cfg.n_features_per_level)
+
+    # trilinear weights: (N, L, 8)
+    w = jnp.prod(jnp.where(corners[None, None, :, :] > 0, frac[:, :, None, :],
+                           1.0 - frac[:, :, None, :]), axis=-1)
+    out = jnp.sum(feats * w[..., None], axis=2)            # (N, L, F)
+
+    if valid_level is not None:
+        lvl_ids = jnp.arange(L)
+        mask = (lvl_ids < valid_level).astype(out.dtype)   # (L,)
+        out = out * mask[None, :, None]
+
+    return out.reshape(n, L * cfg.n_features_per_level)
+
+
+def encode_batched(table, positions, static, valid_level=None,
+                   batch: int = 1 << 20):
+    """Chunked encode for huge inference batches (marching cubes grids)."""
+    n = positions.shape[0]
+    if n <= batch:
+        return encode(table, positions, static, valid_level)
+    outs = []
+    for s in range(0, n, batch):
+        outs.append(encode(table, positions[s:s + batch], static, valid_level))
+    return jnp.concatenate(outs, 0)

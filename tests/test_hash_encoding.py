@@ -1,0 +1,106 @@
+"""Hash-grid encoding: shape/structure golden tests + numpy oracle."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from rnb_neus2_tpu.config import HashGridConfig
+from rnb_neus2_tpu.ops import hash_encoding as he
+
+
+def numpy_encode(table, x, static):
+    """Straight-line numpy re-derivation of grid.h semantics (oracle)."""
+    cfg = static.cfg
+    out = np.zeros((x.shape[0], cfg.n_levels * cfg.n_features_per_level),
+                   np.float32)
+    table = np.asarray(table)
+    for lvl in range(cfg.n_levels):
+        scale = static.scales[lvl]
+        res = int(static.resolutions[lvl])
+        tsize = int(static.table_sizes[lvl])
+        off = int(static.offsets[lvl])
+        hashed = bool(static.hashed[lvl])
+        p = x * scale + 0.5
+        p0 = np.floor(p).astype(np.int64)
+        f = (p - p0).astype(np.float32)
+        acc = 0.0
+        for c in range(8):
+            cx, cy, cz = c & 1, (c >> 1) & 1, (c >> 2) & 1
+            g = p0 + np.array([cx, cy, cz])
+            if hashed:
+                idx = (g[:, 0].astype(np.uint32)
+                       ^ (g[:, 1].astype(np.uint32) * np.uint32(2654435761))
+                       ^ (g[:, 2].astype(np.uint32) * np.uint32(805459861)))
+                idx = idx % np.uint32(tsize)
+            else:
+                idx = (g[:, 0] + g[:, 1] * res + g[:, 2] * res * res) % tsize
+            w = np.prod(np.where(np.array([cx, cy, cz]) > 0, f, 1.0 - f),
+                        axis=1)
+            acc = acc + table[off + idx.astype(np.int64)] * w[:, None]
+        out[:, lvl * 2:(lvl + 1) * 2] = acc
+    return out
+
+
+def test_level_tables_match_reference_structure():
+    cfg = HashGridConfig()
+    assert abs(cfg.per_level_scale - 128.0 ** (1 / 13)) < 1e-12
+    res = cfg.level_resolutions()
+    # top level: exp2f(13·log2(1.45242f))·16−1 = 2047.0007 in float32 →
+    # ceil+1 = 2049, exactly like the reference's grid.h:980 computation.
+    assert res[0] == 16 and res[-1] == 2049
+    sizes = cfg.level_table_sizes()
+    assert sizes[0] == 16 ** 3
+    assert sizes[-1] == 1 << 19
+    # dense levels then hashed levels, monotone switch
+    static = he.HashGridStatic(cfg)
+    switch = list(static.hashed)
+    assert switch == sorted(switch)
+
+
+def test_encode_matches_numpy_oracle():
+    cfg = HashGridConfig(n_levels=6, top_resolution=256)
+    static = he.HashGridStatic(cfg)
+    key = jax.random.PRNGKey(0)
+    table = jax.random.normal(key, (static.n_entries, 2), jnp.float32)
+    x = jax.random.uniform(jax.random.PRNGKey(1), (257, 3))
+    got = np.asarray(he.encode(table, x, static))
+    want = numpy_encode(table, np.asarray(x), static)
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+def test_progressive_level_mask():
+    cfg = HashGridConfig()
+    static = he.HashGridStatic(cfg)
+    table = he.init_table(jax.random.PRNGKey(0), cfg)
+    x = jax.random.uniform(jax.random.PRNGKey(1), (16, 3))
+    out = he.encode(table, x, static, valid_level=3)
+    out = np.asarray(out).reshape(16, cfg.n_levels, 2)
+    assert np.all(out[:, 3:, :] == 0)
+    assert np.any(out[:, :3, :] != 0)
+    # unlocking schedule (grid.h:1430-1436): starts at ceil(0.2*14)=3,
+    # +0.02 levels/step after step 100 → all 14 unlocked at step 660
+    assert cfg.valid_levels(1) == 3
+    assert cfg.valid_levels(100) == 3
+    assert cfg.valid_levels(660) == 14
+    assert cfg.valid_levels(659) == 14  # ceil(2.8 + 0.02*559) = ceil(13.98)
+    assert cfg.valid_levels(0) == 14    # step<=0 → all levels (grid.h:1432)
+
+
+def test_second_order_grad_exists():
+    """grad-of-grad through the encoding (the reference's hand-written
+    backward_backward path, grid.h:557-859) must work natively."""
+    cfg = HashGridConfig(n_levels=4, top_resolution=64)
+    static = he.HashGridStatic(cfg)
+    table = jax.random.normal(jax.random.PRNGKey(0), (static.n_entries, 2))
+
+    def f(tab, x):
+        # scalar function of position gradient — mimics eikonal
+        def s(xx):
+            return he.encode(tab, xx[None], static).sum()
+        g = jax.grad(s)(x)
+        return jnp.sum((jnp.linalg.norm(g) - 1.0) ** 2)
+
+    x = jnp.array([0.3, 0.5, 0.7])
+    gtab = jax.grad(f)(table, x)
+    assert np.isfinite(np.asarray(gtab)).all()
+    assert np.abs(np.asarray(gtab)).sum() > 0
