@@ -3,8 +3,11 @@
 Reimplements the behavior of the reference's `NerfNetwork`
 (`include/neural-graphics-primitives/nerf_network.h`):
 
-- SDF-MLP input = [xyz(3) | hash features(28)] zero-padded to 48
-  (nerf_network.h:46-61 with GEOMETRY_INIT=1);
+- SDF-MLP input = [xyz−0.5 (3) | hash features(28)] zero-padded to 48
+  (nerf_network.h:46-61 with GEOMETRY_INIT=1; the centering is
+  common_operation.cuh:187-199 `fill_positions_view_with_fixed_offset`).
+  With the geometric init this makes the initial field a sphere SDF
+  ≈ 1.07·(‖x−0.5‖ − 0.093): negative inside a small central sphere;
 - sdf = sdf_mlp_out[0] + sdf_bias(−0.1) (nerf_network.h:225-232);
 - ∇sdf computed **in the forward pass** by differentiating through the
   encoding + SDF MLP (nerf_network.h:163-190) — here one inner `jax.grad`;
@@ -97,7 +100,8 @@ class NeusField:
         n = x.shape[0]
         pad = self.net.sdf_input_dim - 3 - enc.shape[1]
         inp = jnp.concatenate(
-            [x, enc] + ([jnp.zeros((n, pad), enc.dtype)] if pad else []), axis=1)
+            [x - 0.5, enc]
+            + ([jnp.zeros((n, pad), enc.dtype)] if pad else []), axis=1)
         return apply_mlp(params["sdf_mlp"], inp)
 
     def sdf(self, params, x: jnp.ndarray, valid_level=None) -> jnp.ndarray:

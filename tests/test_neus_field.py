@@ -30,26 +30,33 @@ def test_geometric_init_structure():
     assert np.asarray(params["variance"])[0] == np.float32(0.3)
 
 
-def test_init_field_statistics():
-    """The reference's geometric init (mlp_weights.txt through the 48→64→16
-    MLP with sdf_bias −0.1) yields a nearly-flat POSITIVE field: sdf ≈ +0.95
-    at the cube center, ≈ +1.0 near the edges, with modest gradients.
-    Training carves the surface from this 'everything outside' state.
-    Our SAL-procedure init must land in the same regime."""
+def test_init_field_is_sphere_sdf():
+    """The reference's geometric init (mlp_weights.txt evaluated through the
+    48→64→16 MLP on CENTERED xyz with sdf_bias −0.1) is a sphere SDF:
+    sdf(x) ≈ 1.07·(‖x−0.5‖ − 0.093) — measured radial profile:
+    r=0 → −0.100, r=0.1 → +0.007, r=0.3 → +0.222, r=0.5 → +0.437.
+    Our SAL-procedure init must reproduce this sphere."""
     grid = HashGridConfig()
     net = NetworkConfig()
     field = NeusField(grid, net)
     params = init_params(jax.random.PRNGKey(3), grid, net)
-    x = jax.random.uniform(jax.random.PRNGKey(1), (512, 3))
-    sdf = np.asarray(field.sdf(params, x))
-    assert 0.2 < float(sdf.mean()) < 2.0      # flat positive field
-    # (exactly at cube corners the ReLU net can dip to sdf_bias = −0.1,
-    # same as the reference weights at x=(0,0,0))
-    assert float((sdf > 0).mean()) > 0.9
-    assert float(sdf.std()) < 0.5
-    _, g, _ = field.sdf_and_grad(params, x)
+    center = jnp.array([[0.5, 0.5, 0.5]])
+    assert abs(float(field.sdf(params, center)[0]) - (-0.1)) < 1e-3
+    # radial linearity and approximate slope
+    rng = np.random.default_rng(0)
+    d = rng.standard_normal((256, 3))
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    prof = []
+    for r in [0.1, 0.2, 0.3, 0.4]:
+        v = np.asarray(field.sdf(params, jnp.asarray(0.5 + r * d)))
+        prof.append(v.mean())
+    slopes = np.diff(prof) / 0.1
+    assert np.all(slopes > 0.6) and np.all(slopes < 1.6)
+    # zero crossing (init sphere radius) in (0.05, 0.2)
+    assert prof[0] > -0.08 and prof[1] > 0
+    _, g, _ = field.sdf_and_grad(params, jnp.asarray(0.5 + 0.3 * d))
     gn = np.linalg.norm(np.asarray(g), axis=1)
-    assert gn.mean() < 2.0
+    assert 0.5 < gn.mean() < 1.8  # near-eikonal init gradients
 
 
 def test_grad_matches_finite_difference():
@@ -110,9 +117,12 @@ def test_density_profile():
     x = jax.random.uniform(jax.random.PRNGKey(5), (64, 3), minval=0.2,
                            maxval=0.8)
     d = np.asarray(field.density(params, x))
-    assert np.all(d > 0) and np.all(d < 1e-3)  # far from surface: tiny
-    # force sdf ≈ 0 by subtracting the field's own value via bias trick:
     s = float(np.exp(10 * np.asarray(params["variance"])[0]))
     sdf = np.asarray(field.sdf(params, x))
     sig = 1 / (1 + np.exp(-sdf * s))
     np.testing.assert_allclose(d, s * sig * (1 - sig), rtol=1e-4, atol=1e-7)
+    # far outside the init sphere (sdf > 0.3) the density is tiny; on the
+    # zero level set it peaks at s/4 ≈ 5
+    far = sdf > 0.3
+    assert np.all(d[far] < 1e-1)
+    assert abs(s / 4 - 5.02) < 0.2
