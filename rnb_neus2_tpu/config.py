@@ -194,6 +194,7 @@ class TrainConfig:
     initial_rays_per_batch: int = INITIAL_RAYS_PER_BATCH
     max_rays_per_batch: int = MAX_RAYS_PER_BATCH
     density_grid_decay: float = 0.95
+    occ_grid_size: int = NERF_GRIDSIZE
     seed: int = 42
     # fractional training (--fractional-training): after this step only SDF
     # (density MLP + hash grid + variance) params keep updating

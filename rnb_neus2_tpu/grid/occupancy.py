@@ -1,0 +1,87 @@
+"""Occupancy grid: 128³ density EMA + boolean occupancy field.
+
+Reference behavior (src/testbed_nerf.cu:3424-3517, 585-741):
+- every update visits each cell once (the "uniform" pass iterates a prime
+  permutation over all cells, :585-614) at a uniformly jittered position
+  inside the cell, evaluates the NeuS density s·σ(s·sdf)(1−σ) and merges
+  grid = max(grid·decay, density) (decay 0.95, ema_grid_samples :655-686);
+- occupancy bit = density > min(0.1, mean(max(grid,0)))
+  (grid_to_bitfield :693-717; strict '>', so an all-zero grid with mean 0
+  yields *no* occupancy — occupancy appears as soon as density does);
+- cascade mips exist for aabb_scale > 1 (bitfield_max_pool :719-741); the
+  RNb pipeline always runs aabb_scale = 1 → single cascade. Multi-cascade
+  is kept as a config hook, not materialized.
+- update cadence is driven by the trainer: every clamp(step/16, 1, 16)
+  steps (testbed.cu:2801-2821).
+
+Layout: plain (G³,) row-major with index x + G·(y + G·z). The reference's
+Morton order is a CUDA memory-coalescing artifact with no TPU benefit.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import NERF_GRIDSIZE, NERF_MIN_OPTICAL_THICKNESS
+
+
+class OccupancyState(NamedTuple):
+    density: jnp.ndarray    # (G³,) float32 EMA'd density
+    bitfield: jnp.ndarray   # (G³,) bool
+    mean_density: jnp.ndarray  # () float32
+    ema_step: jnp.ndarray   # () int32
+
+
+def init_state(grid_size: int = NERF_GRIDSIZE) -> OccupancyState:
+    n = grid_size ** 3
+    return OccupancyState(
+        density=jnp.zeros((n,), jnp.float32),
+        bitfield=jnp.zeros((n,), bool),
+        mean_density=jnp.zeros((), jnp.float32),
+        ema_step=jnp.zeros((), jnp.int32),
+    )
+
+
+def cell_positions(key: jax.Array, grid_size: int = NERF_GRIDSIZE
+                   ) -> jnp.ndarray:
+    """One uniformly jittered position per cell, (G³, 3) in [0,1]."""
+    g = grid_size
+    idx = jnp.arange(g ** 3)
+    x = idx % g
+    y = (idx // g) % g
+    z = idx // (g * g)
+    base = jnp.stack([x, y, z], axis=1).astype(jnp.float32)
+    jitter = jax.random.uniform(key, (g ** 3, 3))
+    return (base + jitter) / g
+
+
+def update(state: OccupancyState, densities: jnp.ndarray,
+           decay: float = 0.95,
+           thresh: float = NERF_MIN_OPTICAL_THICKNESS) -> OccupancyState:
+    """Merge fresh per-cell densities and rebuild the occupancy field."""
+    new_density = jnp.where(state.density < 0.0, state.density,
+                            jnp.maximum(state.density * decay, densities))
+    mean = jnp.mean(jnp.maximum(new_density, 0.0))
+    bit = new_density > jnp.minimum(thresh, mean)
+    return OccupancyState(density=new_density, bitfield=bit,
+                          mean_density=mean, ema_step=state.ema_step + 1)
+
+
+def lookup(bitfield: jnp.ndarray, pos: jnp.ndarray,
+           grid_size: int = 0) -> jnp.ndarray:
+    """Occupancy at positions (..., 3) in [0,1] (density_grid_occupied_at).
+    grid_size inferred from the flat bitfield when not given."""
+    if not grid_size:
+        grid_size = round(bitfield.shape[0] ** (1.0 / 3.0))
+    cell = jnp.clip((pos * grid_size).astype(jnp.int32), 0, grid_size - 1)
+    idx = cell[..., 0] + grid_size * (cell[..., 1] + grid_size * cell[..., 2])
+    return bitfield[idx]
+
+
+def update_cadence(step: int) -> int:
+    """clamp(step/16, 1, 16) (testbed.cu:2801)."""
+    return int(np.clip(step // 16, 1, 16))

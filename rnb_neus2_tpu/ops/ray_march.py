@@ -1,0 +1,148 @@
+"""Training-time ray marching as a fixed-shape ladder + compaction.
+
+The reference marches each ray serially through the occupancy grid
+(generate_training_samples_nerf_with_global_movement,
+src/testbed_nerf.cu:1216-1387): step dt = clamp(t·cone_angle, √3/1024, ·),
+count occupied steps (≤1024), then atomically compact all rays' samples
+into a 2^18 buffer.
+
+Key observation: both the occupied step (`t += dt`) and the empty-space
+skip (`advance_to_next_voxel`, :301-323, which *also* advances by repeated
+`t += calc_dt(t)`) keep t on the SAME deterministic ladder
+t_{k+1} = t_k + max(t_k·cone, dt_min) seeded at the jittered entry point.
+So the reference's visited sample set is exactly {ladder points inside the
+AABB that land in occupied cells}. That makes the whole march a fixed-shape
+computation: evaluate the K-point ladder, mask by AABB + occupancy, and
+compact the first M valid samples per ray — no serial loop, no atomics.
+
+The ladder has a closed form: constant steps of dt_min until
+t ≥ dt_min/cone (= 0.4330 for the defaults), then geometric growth by
+(1 + cone). 1024 points cover the full unit-cube traversal (≈ 611 needed).
+
+Compaction is GLOBAL, like the reference's atomic version: all rays'
+samples pack into one fixed S-slot buffer (S = the 2^18 target batch);
+rays that would overflow the remaining budget are dropped whole
+(testbed_nerf.cu:1352-1356 `base + numsteps > max_samples → return`).
+On TPU the atomics become a cumsum over per-ray counts plus one scatter,
+and the network then always runs on a single static (S, 3) shape.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..config import MIN_CONE_STEPSIZE, MAX_CONE_STEPSIZE
+from ..geom.camera import ray_aabb
+from ..grid import occupancy
+
+
+class FlatSamples(NamedTuple):
+    """Globally compacted sample buffer (S static slots)."""
+
+    t: jnp.ndarray          # (S,) sample distance along its ray
+    dt: jnp.ndarray         # (S,) step size
+    ray_id: jnp.ndarray     # (S,) int32 owner ray; R (sentinel) for unused
+    valid: jnp.ndarray      # (S,) slot holds a real sample
+    seg_start: jnp.ndarray  # (R,) first slot of each ray (= offsets)
+    n_valid: jnp.ndarray    # (R,) per-ray occupied count BEFORE drops
+    ray_kept: jnp.ndarray   # (R,) ray survived the budget drop
+
+
+class MarchedRays(NamedTuple):
+    t: jnp.ndarray       # (R, M) sample distances (ladder points)
+    dt: jnp.ndarray      # (R, M) step sizes at those points
+    valid: jnp.ndarray   # (R, M) sample exists
+    n_valid: jnp.ndarray  # (R,) occupied-sample count (pre-truncation)
+
+
+def t_ladder(startt: jnp.ndarray, n_points: int,
+             cone_angle: float) -> jnp.ndarray:
+    """(R,) start distances → (R, K) ladder; closed-form, no scan.
+
+    Phase 1 (t < t_switch = dt_min/cone): t_k = startt + k·dt_min.
+    Phase 2: geometric, t_{k+1} = t_k·(1+cone).
+    """
+    k = jnp.arange(n_points, dtype=jnp.float32)[None, :]
+    dt_min = MIN_CONE_STEPSIZE
+    if cone_angle <= 0.0:
+        return startt[:, None] + k * dt_min
+    t_switch = dt_min / cone_angle
+    # number of constant steps before the ladder crosses t_switch
+    n0 = jnp.ceil(jnp.maximum(t_switch - startt, 0.0) / dt_min)[:, None]
+    t_const = startt[:, None] + k * dt_min
+    t_sw = startt[:, None] + n0 * dt_min
+    t_geom = t_sw * (1.0 + cone_angle) ** (k - n0)
+    return jnp.where(k < n0, t_const, t_geom)
+
+
+def _ladder_valid(ray_o, ray_d, bitfield, u_start, n_ladder, cone_angle):
+    """Shared ladder construction: returns t, dt, valid, n_valid (R, K)."""
+    tmin, tmax = ray_aabb(ray_o, ray_d)
+    tmin = jnp.maximum(tmin, 0.0)
+    dt0 = jnp.clip(tmin * cone_angle, MIN_CONE_STEPSIZE, MAX_CONE_STEPSIZE)
+    startt = tmin + dt0 * u_start
+
+    t = t_ladder(startt, n_ladder, cone_angle)           # (R, K)
+    dt = jnp.clip(t * cone_angle, MIN_CONE_STEPSIZE, MAX_CONE_STEPSIZE)
+
+    pos = ray_o[:, None, :] + t[..., None] * ray_d[:, None, :]
+    inside = jnp.all((pos >= 0.0) & (pos <= 1.0), axis=-1)
+    inside &= (tmax[:, None] > tmin[:, None])
+    occ = occupancy.lookup(bitfield, pos)
+    valid = inside & occ
+    return t, dt, valid, jnp.sum(valid, axis=1)
+
+
+def march(ray_o: jnp.ndarray, ray_d: jnp.ndarray, bitfield: jnp.ndarray,
+          u_start: jnp.ndarray, n_ladder: int, max_samples: int,
+          cone_angle: float) -> MarchedRays:
+    """Dense per-ray compaction: first M valid samples of each ray
+    (order-preserving top_k). Used by the inference renderer and tests."""
+    t, dt, valid, n_valid = _ladder_valid(ray_o, ray_d, bitfield, u_start,
+                                          n_ladder, cone_angle)
+    k = jnp.arange(n_ladder, dtype=jnp.int32)[None, :]
+    key = jnp.where(valid, -k, -(n_ladder + k))          # valid sort first
+    _, sel = jax.lax.top_k(key, max_samples)             # (R, M) indices
+    take = lambda a: jnp.take_along_axis(a, sel, axis=1)
+    return MarchedRays(t=take(t), dt=take(dt), valid=take(valid),
+                       n_valid=n_valid)
+
+
+def march_flat(ray_o: jnp.ndarray, ray_d: jnp.ndarray, bitfield: jnp.ndarray,
+               u_start: jnp.ndarray, n_ladder: int, n_slots: int,
+               cone_angle: float) -> FlatSamples:
+    """Global compaction into a fixed S-slot buffer with whole-ray drops on
+    budget overflow — the TPU restatement of the reference's two-pass
+    count + atomicAdd compaction (testbed_nerf.cu:1332-1364)."""
+    R = ray_o.shape[0]
+    t, dt, valid, n_valid = _ladder_valid(ray_o, ray_d, bitfield, u_start,
+                                          n_ladder, cone_angle)
+    cum = jnp.cumsum(n_valid)
+    ray_kept = cum <= n_slots            # drop whole overflowing rays
+    counts = jnp.where(ray_kept, n_valid, 0)
+    offsets = jnp.cumsum(counts) - counts                  # (R,)
+
+    rank = jnp.cumsum(valid, axis=1) - 1                   # (R, K)
+    slot = offsets[:, None] + rank
+    write = valid & ray_kept[:, None]
+    slot = jnp.where(write, slot, n_slots)                 # sentinel slot
+
+    def scat(src, fill, dtype=None):
+        buf = jnp.full((n_slots + 1,), fill,
+                       dtype or src.dtype)
+        return buf.at[slot.reshape(-1)].set(src.reshape(-1))[:n_slots]
+
+    rid = jnp.broadcast_to(jnp.arange(R, dtype=jnp.int32)[:, None],
+                           slot.shape)
+    return FlatSamples(
+        t=scat(t, 0.0),
+        dt=scat(dt, MIN_CONE_STEPSIZE),
+        ray_id=scat(rid, R),
+        valid=scat(write, False),
+        seg_start=offsets.astype(jnp.int32),
+        n_valid=n_valid,
+        ray_kept=ray_kept,
+    )

@@ -1,0 +1,102 @@
+"""Synthetic analytic-sphere scene for end-to-end tests and benchmarks.
+
+Generates what a photometric-stereo pipeline would hand the system: per-view
+normal maps (camera frame, y-up/z-toward-viewer convention — the inverse of
+the loss kernel's y/z negation), albedo maps, and masks, for a Lambertian
+sphere centered in the unit cube. This is our stand-in for the reference's
+de-facto validation datasets (DiLiGenT-MV etc., SURVEY §4) in hermetic tests.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+
+from ..geom.camera import Cameras
+from ..io.dataset import SceneMeta, TrainingDataset, build_dataset
+
+
+def ring_cameras(n_views: int, radius: float, width: int, height: int,
+                 focal: float, center=(0.5, 0.5, 0.5),
+                 elevation: float = 0.35) -> Cameras:
+    """Cameras on a ring looking at the cube center (OpenCV convention:
+    x right, y down, z forward)."""
+    c = np.asarray(center, np.float32)
+    rots, origins = [], []
+    for i in range(n_views):
+        ang = 2 * np.pi * i / n_views
+        eye = c + radius * np.array([
+            np.cos(ang) * np.cos(elevation),
+            np.sin(ang) * np.cos(elevation),
+            np.sin(elevation)], np.float32)
+        fwd = c - eye
+        fwd = fwd / np.linalg.norm(fwd)
+        up_world = np.array([0.0, 0.0, -1.0], np.float32)
+        right = np.cross(fwd, up_world)
+        right /= np.linalg.norm(right)
+        down = np.cross(fwd, right)
+        R = np.stack([right, down, fwd], axis=1)  # columns = cam axes
+        rots.append(R.astype(np.float32))
+        origins.append(eye)
+    n = n_views
+    return Cameras(
+        rot_c2w=jnp.asarray(np.stack(rots)),
+        origin=jnp.asarray(np.stack(origins)),
+        focal=jnp.asarray(np.full((n, 2), focal, np.float32)),
+        principal=jnp.asarray(np.full((n, 2), 0.5, np.float32)),
+        resolution=(width, height),
+    )
+
+
+def render_sphere_views(cams: Cameras, center=(0.5, 0.5, 0.5),
+                        radius: float = 0.25,
+                        albedo_rgb=(0.8, 0.6, 0.4)):
+    """Analytic ray-sphere render → decoded-space arrays for build_dataset."""
+    W, H = cams.resolution
+    c = np.asarray(center, np.float32)
+    n_views = cams.rot_c2w.shape[0]
+    rots = np.asarray(cams.rot_c2w)
+    origins = np.asarray(cams.origin)
+    focal = np.asarray(cams.focal)
+    pp = np.asarray(cams.principal)
+
+    u = (np.arange(W) + 0.5) / W
+    v = (np.arange(H) + 0.5) / H
+    uu, vv = np.meshgrid(u, v)
+
+    normals = np.zeros((n_views, H, W, 3), np.float32)
+    alphas = np.zeros((n_views, H, W), np.float32)
+    for i in range(n_views):
+        d_cam = np.stack([
+            (uu - pp[i, 0]) * W / focal[i, 0],
+            (vv - pp[i, 1]) * H / focal[i, 1],
+            np.ones_like(uu)], axis=-1)
+        d_world = d_cam @ rots[i].T
+        d_world /= np.linalg.norm(d_world, axis=-1, keepdims=True)
+        oc = origins[i] - c
+        b = np.sum(d_world * oc, axis=-1)
+        disc = b * b - (np.sum(oc * oc) - radius * radius)
+        hit = disc > 0
+        t = -b - np.sqrt(np.maximum(disc, 0))
+        hit &= t > 0
+        p = origins[i] + t[..., None] * d_world
+        n_world = (p - c) / radius
+        # world → OpenCV camera frame; this is what the decoded GT must be
+        n_cam = n_world @ rots[i]
+        normals[i] = np.where(hit[..., None], n_cam, 0.0)
+        # masked pixels decode (after the y/z negation) to (−1,+1,+1)/√3
+        normals[i][~hit] = np.array([-1.0, 1.0, 1.0]) / np.sqrt(3.0)
+        alphas[i] = hit.astype(np.float32)
+
+    albedo = np.broadcast_to(np.asarray(albedo_rgb, np.float32),
+                             (n_views, H, W, 3)).copy()
+    albedo *= alphas[..., None]
+    return normals, albedo, alphas
+
+
+def sphere_dataset(n_views: int = 8, width: int = 48, height: int = 48,
+                   radius: float = 0.25, cam_radius: float = 1.5,
+                   focal: float = 70.0) -> TrainingDataset:
+    cams = ring_cameras(n_views, cam_radius, width, height, focal)
+    normals, albedo, alphas = render_sphere_views(cams, radius=radius)
+    return build_dataset(cams, normals, albedo, alphas, alphas, SceneMeta())

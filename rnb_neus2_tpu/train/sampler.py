@@ -1,0 +1,79 @@
+"""Training ray-batch assembly (pure jnp, jit-friendly).
+
+Reproduces the per-ray setup of generate_training_samples…
+(src/testbed_nerf.cu:1216-1387) and the target decode of the loss kernel
+(:1460-1561):
+
+- image choice: stratified img = i·n_images / n_rays (image_idx with no CDF);
+- pixel: uniform continuous xy per ray, texel looked up at floor(xy·res);
+- black-pixel skip: texels whose premultiplied linear red ≤ 0 are dropped
+  with probability 0.9 (:1264-1266);
+- per-ray random light index in {0,1,2} (the reference uses curand seeded
+  with clock64() — non-deterministic; we use the counted PRNG, a documented
+  divergence);
+- ray march with jittered start (ops/ray_march.py).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..config import MarchConfig
+from ..geom.camera import rays_from_pixels
+from ..io.dataset import TrainingDataset
+from ..ops import ray_march
+from ..render.losses import RayBatch
+
+
+def sample_ray_batch(dataset: TrainingDataset, bitfield: jnp.ndarray,
+                     key: jax.Array, n_rays: int, n_slots: int,
+                     march_cfg: MarchConfig):
+    """Returns (RayBatch, FlatSamples, positions (S, 3))."""
+    W, H = dataset.resolution
+    n_img = dataset.n_images
+    k_xy, k_skip, k_light, k_start = jax.random.split(key, 4)
+
+    ray_ids = jnp.arange(n_rays)
+    img = (ray_ids * n_img) // n_rays
+    xy = jax.random.uniform(k_xy, (n_rays, 2))
+    px = jnp.clip((xy[:, 0] * W).astype(jnp.int32), 0, W - 1)
+    py = jnp.clip((xy[:, 1] * H).astype(jnp.int32), 0, H - 1)
+
+    flat = (img * H + py) * W + px
+    gather = lambda a: a.reshape((-1,) + a.shape[3:])[flat]
+    normal_gt = gather(dataset.normals)
+    albedo_gt = gather(dataset.albedos)
+    alpha_n = gather(dataset.alpha_normal)
+    alpha_a = gather(dataset.alpha_albedo)
+    skip_cand = gather(dataset.skip_candidate)
+
+    u_skip = jax.random.uniform(k_skip, (n_rays,))
+    alive = ~(skip_cand & (u_skip >= 0.9))
+
+    ray_o, ray_d = rays_from_pixels(dataset.cameras, img, xy)
+    u_start = jax.random.uniform(k_start, (n_rays,))
+    samples = ray_march.march_flat(ray_o, ray_d, bitfield, u_start,
+                                   march_cfg.n_ladder, n_slots,
+                                   march_cfg.cone_angle)
+    alive &= samples.n_valid > 0
+
+    light_idx = jax.random.randint(k_light, (n_rays,), 0, 3)
+
+    batch = RayBatch(
+        ray_o=ray_o, ray_d=ray_d,
+        alive=alive,
+        normal_gt=normal_gt, albedo_gt=albedo_gt,
+        mask_color=(alpha_a > 0.99).astype(jnp.float32),
+        mask_gt=(alpha_n > 0.99).astype(jnp.float32),
+        rot_c2w=dataset.cameras.rot_c2w[img],
+        light_idx=light_idx,
+        pdf=jnp.ones((n_rays,), jnp.float32),
+    )
+    rid = jnp.minimum(samples.ray_id, n_rays - 1)
+    pos = ray_o[rid] + samples.t[:, None] * ray_d[rid]
+    pos = jnp.clip(pos, 0.0, 1.0)
+    return batch, samples, pos

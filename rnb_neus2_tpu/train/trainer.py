@@ -1,0 +1,194 @@
+"""The training engine: jitted step, occupancy updates, adaptive batching.
+
+Replaces the reference's Testbed::train / train_nerf / train_nerf_step host
+orchestration (src/testbed.cu:2776-2870, src/testbed_nerf.cu:3560-4123):
+
+- one fused jitted step = sample rays → march → network → loss → grad →
+  Adam → param EMA (the reference runs 5+ kernel launches + an optimizer
+  graph; XLA fuses the lot);
+- occupancy-grid refresh every clamp(step/16, 1, 16) steps
+  (testbed.cu:2801-2821) as a second jitted function;
+- progressive hash-level unlocking by passing the step into the encoding
+  (testbed.cu:2788-2793);
+- adaptive rays/batch: the reference rescales rays_per_batch to hit the
+  2^18-sample budget (testbed_nerf.cu:3554-3555); we bucket (R, M) pairs to
+  powers of two with R·M = budget to bound recompiles (one compile per
+  bucket, cached).
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+import time
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import TestbedConfig, TARGET_BATCH_SIZE
+from ..grid import occupancy
+from ..io.dataset import TrainingDataset
+from ..models.neus_field import NeusField, init_params
+from ..render.losses import training_loss
+from ..utils.meters import Ema
+from . import optimizer as opt
+from .sampler import sample_ray_batch
+
+
+def valid_level_for_step(grid_cfg, step: jnp.ndarray) -> jnp.ndarray:
+    """jnp twin of HashGridConfig.valid_levels (grid.h:1430-1436)."""
+    L = grid_cfg.n_levels
+    v = jnp.ceil(grid_cfg.base_valid_level_scale * L
+                 + grid_cfg.valid_level_scale
+                 * jnp.maximum(0, step - grid_cfg.base_training_step))
+    v = jnp.minimum(L, v.astype(jnp.int32))
+    return jnp.where(step <= 0, L, v)
+
+
+class Trainer:
+    """Single-scene training driver (host loop; device math is all jitted)."""
+
+    def __init__(self, dataset: TrainingDataset, cfg: TestbedConfig,
+                 params: Optional[Dict[str, Any]] = None):
+        self.dataset = dataset
+        self.cfg = cfg
+        self.field = NeusField(cfg.grid, cfg.network)
+        key = jax.random.PRNGKey(cfg.train.seed)
+        self.key, k_init = jax.random.split(key)
+        self.params = params if params is not None else init_params(
+            k_init, cfg.grid, cfg.network)
+        self.tx = opt.make_optimizer(cfg.optimizer, self.params)
+        self.opt_state = opt.init_state(cfg.optimizer, self.params)
+        self.occ = occupancy.init_state(cfg.train.occ_grid_size)
+        self.step = 0
+        # adaptive batch: start at the reference's 2^12 rays (testbed.h:908)
+        self.n_rays = cfg.train.initial_rays_per_batch
+        self.loss_ema = Ema(half_life_steps=50)
+        self.ek_ema = Ema(half_life_steps=50)
+        self.mask_ema = Ema(half_life_steps=50)
+        self.step_ms = Ema(half_life_steps=50)
+        self._compiled: Dict[int, Any] = {}
+
+    # ------------------------------------------------------------------
+    # jitted pieces
+    # ------------------------------------------------------------------
+
+    def _make_step_fn(self, n_rays: int):
+        cfg = self.cfg
+        field = self.field
+        tx = self.tx
+        n_slots = cfg.train.target_batch_size
+
+        @jax.jit
+        def step_fn(params, opt_state, bitfield, key, step):
+            batch, samples, pos = sample_ray_batch(
+                self.dataset, bitfield, key, n_rays, n_slots, cfg.march)
+            vl = valid_level_for_step(cfg.grid, step)
+            anneal = jnp.where(
+                cfg.loss.anneal_end <= 0, 1.0,
+                jnp.minimum(1.0, step / max(cfg.loss.anneal_end, 1)))
+
+            def loss_fn(p):
+                out = field.apply(p, pos, vl)
+                return training_loss(out, samples, batch, cfg.flags,
+                                     cfg.loss, anneal)
+
+            (loss, metrics), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(params)
+
+            if cfg.train.fractional_from_step is not None:
+                rgb_scale = (step < cfg.train.fractional_from_step
+                             ).astype(jnp.float32)
+            else:
+                rgb_scale = jnp.float32(1.0)
+            params, opt_state = opt.apply_updates(
+                tx, cfg.optimizer, params, grads, opt_state, rgb_scale)
+            metrics = dict(metrics)
+            metrics["n_valid_total"] = jnp.sum(samples.n_valid)
+            metrics["n_rays_kept"] = jnp.sum(
+                samples.ray_kept.astype(jnp.int32))
+            metrics["loss_total"] = loss
+            return params, opt_state, metrics
+
+        return step_fn
+
+    @functools.cached_property
+    def _occ_update_fn(self):
+        field = self.field
+        decay = self.cfg.train.density_grid_decay
+
+        gsize = self.cfg.train.occ_grid_size
+
+        @jax.jit
+        def occ_fn(params, occ_state, key, step):
+            vl = valid_level_for_step(self.cfg.grid, step)
+            pos = occupancy.cell_positions(key, gsize)
+            dens = field.density(params, pos, vl)
+            return occupancy.update(occ_state, dens, decay)
+
+        return occ_fn
+
+    # ------------------------------------------------------------------
+    # host loop
+    # ------------------------------------------------------------------
+
+    def _bucket(self) -> int:
+        """Rays per batch bucketed to a power of two (bounds recompiles;
+        the sample buffer S stays fixed at the target budget)."""
+        lo = int(math.log2(max(self.cfg.train.initial_rays_per_batch, 64)))
+        return 1 << max(lo - 3,
+                        min(18, int(round(math.log2(max(self.n_rays, 1))))))
+
+    def train_step(self) -> Dict[str, float]:
+        t0 = time.perf_counter()
+        cadence = occupancy.update_cadence(self.step)
+        if self.step % cadence == 0:
+            self.key, k = jax.random.split(self.key)
+            self.occ = self._occ_update_fn(self.params, self.occ, k,
+                                           jnp.int32(self.step))
+
+        r = self._bucket()
+        if r not in self._compiled:
+            self._compiled[r] = self._make_step_fn(r)
+        self.key, k = jax.random.split(self.key)
+        self.params, self.opt_state, metrics = self._compiled[r](
+            self.params, self.opt_state, self.occ.bitfield, k,
+            jnp.int32(self.step))
+        self.step += 1
+
+        # adaptive rays/batch (testbed_nerf.cu:3554-3555): rescale so the
+        # generated (pre-drop) sample count matches the slot budget
+        n_valid = float(metrics["n_valid_total"])
+        if n_valid > 0:
+            target = self.cfg.train.target_batch_size
+            want = r * target / n_valid
+            self.n_rays = int(np.clip(
+                want, self.cfg.train.initial_rays_per_batch // 8,
+                self.cfg.train.max_rays_per_batch))
+
+        out = {k2: float(v) for k2, v in metrics.items()}
+        out["rays_per_batch"] = r
+        self.loss_ema.update(out["loss_color"])
+        self.ek_ema.update(out["loss_ek"])
+        self.mask_ema.update(out["loss_mask"])
+        self.step_ms.update((time.perf_counter() - t0) * 1e3)
+        return out
+
+    def train(self, n_steps: int, log_every: int = 100, logger=None):
+        for _ in range(n_steps):
+            out = self.train_step()
+            if logger and self.step % log_every == 0:
+                logger.info(
+                    f"iteration={self.step} loss={self.loss_ema.value:.6f} "
+                    f"ek={self.ek_ema.value:.4f} mask={self.mask_ema.value:.4f} "
+                    f"rays={out['rays_per_batch']} "
+                    f"step_ms={self.step_ms.value:.1f}")
+        return self
+
+    @property
+    def inference_params(self):
+        """EMA params, used for rendering and mesh extraction like the
+        reference's inference_params (trainer.h)."""
+        return self.opt_state.ema_params

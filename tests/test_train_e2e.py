@@ -1,0 +1,71 @@
+"""Minimum end-to-end slice: overfit the synthetic sphere (SURVEY §7 step 4).
+
+Small config (4 hash levels, 32³ occupancy grid, 2^13-sample budget) keeps
+the run CPU-friendly (~2 min). Asserts the NeuS optimization carves the
+sphere: the SDF zero level set grows from the geometric-init radius (0.093)
+to the true radius, the variance sharpens, and the color loss collapses —
+the same qualitative trajectory as the reference testbed.
+"""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from rnb_neus2_tpu.config import (HashGridConfig, MarchConfig, TestbedConfig,
+                                  TrainConfig)
+from rnb_neus2_tpu.testing.synthetic import sphere_dataset
+from rnb_neus2_tpu.train.trainer import Trainer
+
+RADIUS = 0.2
+
+
+@pytest.fixture(scope="module")
+def trained():
+    ds = sphere_dataset(n_views=8, width=32, height=32, radius=RADIUS)
+    cfg = TestbedConfig(
+        grid=HashGridConfig(n_levels=4, top_resolution=64),
+        train=TrainConfig(target_batch_size=1 << 13,
+                          initial_rays_per_batch=128,
+                          occ_grid_size=32, seed=0),
+        march=MarchConfig(n_ladder=512),
+    )
+    tr = Trainer(ds, cfg)
+    first = [tr.train_step() for _ in range(10)]
+    last = None
+    for _ in range(1190):
+        last = tr.train_step()
+    return tr, first, last
+
+
+def _radial_sdf(tr, r, n=96):
+    d = np.random.default_rng(0).standard_normal((n, 3))
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    x = jnp.asarray(0.5 + r * d, jnp.float32)
+    return np.asarray(tr.field.sdf(tr.inference_params, x))
+
+
+def test_color_loss_collapses(trained):
+    tr, first, last = trained
+    early = np.mean([f["loss_color"] for f in first])
+    assert last["loss_color"] < 0.01
+    assert last["loss_color"] < early * 0.25
+    assert np.isfinite(last["loss_total"])
+
+
+def test_variance_sharpens(trained):
+    tr, first, last = trained
+    # inv_s = e^{10v} rises by orders of magnitude as the surface forms
+    assert last["inv_s"] > 100.0
+    assert float(np.asarray(tr.params["variance"])[0]) > 0.4
+
+
+def test_sdf_carved_to_sphere(trained):
+    tr, _, _ = trained
+    assert np.abs(_radial_sdf(tr, RADIUS)).mean() < 0.03
+    assert _radial_sdf(tr, RADIUS - 0.08).mean() < -0.02
+    assert _radial_sdf(tr, RADIUS + 0.1).mean() > 0.02
+
+
+def test_mask_improves(trained):
+    tr, first, last = trained
+    assert last["loss_mask"] < first[0]["loss_mask"]
