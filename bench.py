@@ -1,0 +1,67 @@
+"""Benchmark: steady-state training throughput on real TPU hardware.
+
+Runs the full-size configuration (14-level hash grid to 2^19 entries,
+2^18-sample batches, 128³ occupancy grid — the reference's defaults from
+configs/nerf/base.json + testbed.h) on a DiLiGenT-MV-sized synthetic scene
+(20 views, 512×612) and measures steady-state training rays/sec/chip.
+
+vs_baseline: the reference repo publishes no numbers (BASELINE.md); the
+driver-provided north star is "10k steps in <5 min on v5e-8" ≈ 2400
+chip-seconds. vs_baseline = that budget divided by our projected
+chip-seconds for 10k steps (>1 = beating the target).
+
+Prints ONE JSON line.
+"""
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+
+
+def main():
+    from rnb_neus2_tpu.config import TestbedConfig, TrainConfig
+    from rnb_neus2_tpu.testing.synthetic import sphere_dataset
+    from rnb_neus2_tpu.train.trainer import Trainer
+
+    ds = sphere_dataset(n_views=20, width=512, height=612, radius=0.35,
+                        cam_radius=1.6, focal=900.0)
+    cfg = TestbedConfig(train=TrainConfig(seed=0))
+    tr = Trainer(ds, cfg)
+
+    # warmup: let occupancy form, batch buckets settle, kernels compile
+    for _ in range(40):
+        tr.train_step()
+
+    n_steps = 60
+    rays = 0
+    jax.block_until_ready(tr.params["hash_table"])
+    t0 = time.perf_counter()
+    for _ in range(n_steps):
+        out = tr.train_step()
+        rays += out["rays_per_batch"]
+    jax.block_until_ready(tr.params["hash_table"])
+    dt = time.perf_counter() - t0
+
+    n_chips = max(len(jax.devices()), 1)
+    rays_per_sec = rays / dt / n_chips
+    step_ms = dt / n_steps * 1e3
+    projected_10k_s = 10_000 * dt / n_steps * n_chips  # chip-seconds
+    vs_baseline = 2400.0 / projected_10k_s
+
+    print(json.dumps({
+        "metric": "train_rays_per_sec_per_chip",
+        "value": round(rays_per_sec, 1),
+        "unit": "rays/s/chip",
+        "vs_baseline": round(vs_baseline, 3),
+        "step_ms": round(step_ms, 2),
+        "samples_per_sec_per_chip": round(
+            cfg.train.target_batch_size / (dt / n_steps) / n_chips, 1),
+        "projected_10k_steps_chip_seconds": round(projected_10k_s, 1),
+        "device": str(jax.devices()[0]),
+    }))
+
+
+if __name__ == "__main__":
+    main()

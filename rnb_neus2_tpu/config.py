@@ -195,6 +195,9 @@ class TrainConfig:
     max_rays_per_batch: int = MAX_RAYS_PER_BATCH
     density_grid_decay: float = 0.95
     occ_grid_size: int = NERF_GRIDSIZE
+    # field-evaluation chunk (lax.map): bounds gather intermediates and
+    # works around an XLA-TPU fused gather+MLP-backward compiler crash
+    field_chunk: int = 4096
     seed: int = 42
     # fractional training (--fractional-training): after this step only SDF
     # (density MLP + hash grid + variance) params keep updating
@@ -203,6 +206,8 @@ class TrainConfig:
 
 @dataclasses.dataclass(frozen=True)
 class TestbedConfig:
+    __test__ = False  # not a pytest class despite the name
+
     grid: HashGridConfig = dataclasses.field(default_factory=HashGridConfig)
     network: NetworkConfig = dataclasses.field(default_factory=NetworkConfig)
     optimizer: OptimizerConfig = dataclasses.field(default_factory=OptimizerConfig)

@@ -42,27 +42,33 @@ from ..ops import hash_encoding
 from ..ops.mlp import apply_mlp, xavier_uniform
 
 
-def _geometric_init_sdf_mlp(key: jax.Array, net: NetworkConfig,
-                            n_geo_dims: int = 3):
-    """SAL geometric init (matches utils/mlp_weights.txt structure)."""
-    dims = ([net.sdf_input_dim] + [net.sdf_width] * net.sdf_hidden_layers
-            + [net.n_output_dims])
-    weights = []
-    n_layers = len(dims) - 1
-    keys = jax.random.split(key, n_layers)
-    for i in range(n_layers):
-        n_in, n_out = dims[i], dims[i + 1]
-        if i == n_layers - 1:
+def _geometric_init_sdf_mlp(key: jax.Array, grid: HashGridConfig,
+                            net: NetworkConfig):
+    """SAL geometric init (matches utils/mlp_weights.txt structure).
+
+    The first layer is stored as two blocks (xyz block, hash-feature block)
+    instead of one padded 48-wide matrix — mathematically identical (the pad
+    columns multiply zeros), and it keeps each weight gradient a plain
+    matmul, which the TPU compiler handles (a sliced-single-matrix variant
+    SIGILLs Mosaic at ≥2^13 batch). tcnn-layout (de)serialization re-joins
+    the blocks (train/snapshot.py).
+    """
+    n_feat = grid.output_dim
+    dims = [net.sdf_width] * net.sdf_hidden_layers + [net.n_output_dims]
+    keys = jax.random.split(key, len(dims) + 1)
+    w_x = ((2.0 ** 0.5) / (net.sdf_width ** 0.5)
+           * jax.random.normal(keys[0], (net.sdf_width, 3)))
+    w_enc = jnp.zeros((net.sdf_width, n_feat), jnp.float32)
+    weights: list = [(w_x.astype(jnp.float32), w_enc)]
+    for i in range(1, len(dims)):
+        n_in, n_out = dims[i - 1], dims[i]
+        if i == len(dims) - 1:
             # output layer: constant sqrt(pi/fan_in) + tiny symmetry noise
             w = (jnp.full((n_out, n_in), (jnp.pi / n_in) ** 0.5)
                  + 1e-5 * jax.random.normal(keys[i], (n_out, n_in)))
         else:
             w = ((2.0 ** 0.5) / (n_out ** 0.5)
                  * jax.random.normal(keys[i], (n_out, n_in)))
-            if i == 0:
-                # zero the hash-feature (and pad) columns: geometry only
-                col = jnp.arange(n_in) < n_geo_dims
-                w = w * col[None, :]
         weights.append(w.astype(jnp.float32))
     return weights
 
@@ -70,14 +76,23 @@ def _geometric_init_sdf_mlp(key: jax.Array, net: NetworkConfig,
 def init_params(key: jax.Array, grid: HashGridConfig,
                 net: NetworkConfig) -> Dict[str, Any]:
     k_table, k_sdf, k_rgb = jax.random.split(key, 3)
-    rgb_dims = ([net.rgb_input_dim] + [net.rgb_width] * net.rgb_hidden_layers
-                + [net.n_output_dims])
-    rgb_keys = jax.random.split(k_rgb, len(rgb_dims) - 1)
+    n_feat = grid.output_dim
+    # RGB first layer blocks: [sdf features(16) | xyz(3) | ∇sdf(3)]; the
+    # Xavier bound uses the reference's conceptual fan-in of 48
+    a = (6.0 / (net.rgb_input_dim + net.rgb_width)) ** 0.5
+    ks = jax.random.split(k_rgb, net.rgb_hidden_layers + 3)
+    w_feat = jax.random.uniform(ks[0], (net.rgb_width, net.n_output_dims),
+                                jnp.float32, -a, a)
+    w_xyz = jax.random.uniform(ks[1], (net.rgb_width, 3), jnp.float32, -a, a)
+    w_grad = jax.random.uniform(ks[2], (net.rgb_width, 3), jnp.float32, -a, a)
+    rgb: list = [(w_feat, w_xyz, w_grad)]
+    dims = [net.rgb_width] * net.rgb_hidden_layers + [net.n_output_dims]
+    for i in range(1, len(dims)):
+        rgb.append(xavier_uniform(ks[2 + i], dims[i], dims[i - 1]))
     return {
         "hash_table": hash_encoding.init_table(k_table, grid),
-        "sdf_mlp": _geometric_init_sdf_mlp(k_sdf, net),
-        "rgb_mlp": [xavier_uniform(k, rgb_dims[i + 1], rgb_dims[i])
-                    for i, k in enumerate(rgb_keys)],
+        "sdf_mlp": _geometric_init_sdf_mlp(k_sdf, grid, net),
+        "rgb_mlp": rgb,
         "variance": jnp.full((1,), net.variance_init, jnp.float32),
     }
 
@@ -94,15 +109,19 @@ class NeusField:
 
     def sdf_features(self, params, x: jnp.ndarray,
                      valid_level=None) -> jnp.ndarray:
-        """(N,3)→(N,16) raw SDF-MLP output (row 0 + bias = sdf)."""
+        """(N,3)→(N,16) raw SDF-MLP output (row 0 + bias = sdf).
+
+        The first layer is applied as split matmuls over the [xyz | enc]
+        blocks instead of concatenating into the padded 48-wide input:
+        mathematically identical (pad columns are zeros), avoids
+        materializing the padded input, and sidesteps an XLA-TPU compiler
+        crash in the fused concat+relu backward.
+        """
         enc = hash_encoding.encode(params["hash_table"], x, self.static,
                                    valid_level)
-        n = x.shape[0]
-        pad = self.net.sdf_input_dim - 3 - enc.shape[1]
-        inp = jnp.concatenate(
-            [x - 0.5, enc]
-            + ([jnp.zeros((n, pad), enc.dtype)] if pad else []), axis=1)
-        return apply_mlp(params["sdf_mlp"], inp)
+        w_x, w_enc = params["sdf_mlp"][0]
+        h = jax.nn.relu((x - 0.5) @ w_x.T + enc @ w_enc.T)
+        return apply_mlp(params["sdf_mlp"][1:], h)
 
     def sdf(self, params, x: jnp.ndarray, valid_level=None) -> jnp.ndarray:
         """(N,3)→(N,) signed distance (with bias; nerf_network.h:225-232)."""
@@ -130,19 +149,40 @@ class NeusField:
         — returned here as a dict (viewdir passthrough is left to callers).
         """
         sdf, grad, feats = self.sdf_and_grad(params, x, valid_level)
-        n = x.shape[0]
-        zeros_dir = jnp.zeros((n, 16), feats.dtype)
-        pad = self.net.rgb_input_dim - (feats.shape[1] + 16 + 3 + 3)
-        parts = [feats, zeros_dir, x, grad]
-        if pad:
-            parts.append(jnp.zeros((n, pad), feats.dtype))
-        rgb_in = jnp.concatenate(parts, axis=1)
-        rgb_out = apply_mlp(params["rgb_mlp"], rgb_in)
+        # RGB first layer as split matmuls over the input blocks
+        # [feat(16) | dir-encoding(16, never computed → zeros) | xyz | ∇sdf]
+        # — identical to the reference's packed 48-wide input, minus the
+        # dead dir block's FLOPs.
+        w_feat, w_xyz, w_grad = params["rgb_mlp"][0]
+        h = jax.nn.relu(feats @ w_feat.T + x @ w_xyz.T + grad @ w_grad.T)
+        rgb_out = apply_mlp(params["rgb_mlp"][1:], h)
         return {
             "albedo_raw": rgb_out[:, :3],
             "sdf": sdf,
             "grad": grad,
             "variance": params["variance"][0],
+        }
+
+    def apply_chunked(self, params, x: jnp.ndarray, valid_level=None,
+                      chunk: int = 4096) -> Dict[str, jnp.ndarray]:
+        """apply() in fixed-size chunks via lax.map.
+
+        Two reasons: (a) bounds the live intermediates of the 14-level
+        gather (the XLA-TPU compiler SIGILLs on the fused gather+MLP
+        backward above ~2^12 rows); (b) caps peak memory for huge
+        marching-cubes batches. Semantically identical to apply().
+        """
+        n = x.shape[0]
+        if n <= chunk:
+            return self.apply(params, x, valid_level)
+        assert n % chunk == 0, (n, chunk)
+        outs = jax.lax.map(lambda xx: self.apply(params, xx, valid_level),
+                           x.reshape(-1, chunk, 3))
+        return {
+            "albedo_raw": outs["albedo_raw"].reshape(n, 3),
+            "sdf": outs["sdf"].reshape(n),
+            "grad": outs["grad"].reshape(n, 3),
+            "variance": outs["variance"][0],
         }
 
     def density(self, params, x: jnp.ndarray, valid_level=None) -> jnp.ndarray:

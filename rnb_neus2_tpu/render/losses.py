@@ -125,7 +125,9 @@ def mask_losses(weight_sum: jnp.ndarray, mask_gt: jnp.ndarray,
 
 def training_loss(field_out: Dict[str, jnp.ndarray], samples, batch: RayBatch,
                   flags: RenderFlags, cfg: LossConfig,
-                  cos_anneal_ratio=1.0) -> tuple[jnp.ndarray, Dict]:
+                  cos_anneal_ratio=1.0,
+                  n_rays_divisor: int | None = None
+                  ) -> tuple[jnp.ndarray, Dict]:
     """Total differentiable loss for one globally-compacted batch.
 
     samples: ops.ray_march.FlatSamples with S static slots.
@@ -200,7 +202,10 @@ def training_loss(field_out: Dict[str, jnp.ndarray], samples, batch: RayBatch,
     gnorm = jnp.sqrt(jnp.sum(grad * grad, axis=-1) + 1e-6)
     ek = jnp.sum(jnp.where(keep, (gnorm - 1.0) ** 2, 0.0))
 
-    n_rays = jnp.asarray(R, jnp.float32)
+    # n_rays_divisor lets a data-parallel shard normalize by the GLOBAL ray
+    # count so that psum of per-shard gradients equals the single-chip one
+    # (the eikonal term is a plain sum and needs no renormalization).
+    n_rays = jnp.asarray(n_rays_divisor or R, jnp.float32)
     total = (jnp.sum(color) + cfg.mask_loss_weight * jnp.sum(mask)
              ) / n_rays + cfg.ek_loss_weight * ek
 

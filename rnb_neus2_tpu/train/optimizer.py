@@ -42,8 +42,8 @@ def _l2_mask(params: Dict[str, Any]):
     """True for MLP weight matrices only."""
     return {
         "hash_table": False,
-        "sdf_mlp": [True for _ in params["sdf_mlp"]],
-        "rgb_mlp": [True for _ in params["rgb_mlp"]],
+        "sdf_mlp": jax.tree_util.tree_map(lambda _: True, params["sdf_mlp"]),
+        "rgb_mlp": jax.tree_util.tree_map(lambda _: True, params["rgb_mlp"]),
         "variance": False,
     }
 
@@ -69,7 +69,8 @@ def apply_updates(tx, cfg: OptimizerConfig, params, grads, state: OptState,
     (fractional training / component masks)."""
     updates, adam_state = tx.update(grads, state.adam, params)
     updates = dict(updates)
-    updates["rgb_mlp"] = [u * rgb_train_scale for u in updates["rgb_mlp"]]
+    updates["rgb_mlp"] = jax.tree_util.tree_map(
+        lambda u: u * rgb_train_scale, updates["rgb_mlp"])
     new_params = optax.apply_updates(params, updates)
     d = cfg.ema_decay
     ema = jax.tree_util.tree_map(lambda e, p: d * e + (1.0 - d) * p,

@@ -91,7 +91,8 @@ class Trainer:
                 jnp.minimum(1.0, step / max(cfg.loss.anneal_end, 1)))
 
             def loss_fn(p):
-                out = field.apply(p, pos, vl)
+                out = field.apply_chunked(p, pos, vl,
+                                          cfg.train.field_chunk)
                 return training_loss(out, samples, batch, cfg.flags,
                                      cfg.loss, anneal)
 
@@ -120,12 +121,17 @@ class Trainer:
         decay = self.cfg.train.density_grid_decay
 
         gsize = self.cfg.train.occ_grid_size
+        n_cells = gsize ** 3
+        chunk = min(n_cells, 1 << 17)   # bound the encoding's index blowup
+        n_chunks = -(-n_cells // chunk)
 
         @jax.jit
         def occ_fn(params, occ_state, key, step):
             vl = valid_level_for_step(self.cfg.grid, step)
             pos = occupancy.cell_positions(key, gsize)
-            dens = field.density(params, pos, vl)
+            dens = jax.lax.map(
+                lambda p: field.density(params, p, vl),
+                pos.reshape(n_chunks, chunk, 3)).reshape(-1)
             return occupancy.update(occ_state, dens, decay)
 
         return occ_fn

