@@ -1,0 +1,127 @@
+"""Mesh extraction: hierarchical SDF evaluation + isosurface + world mapping.
+
+Pipeline (mirrors Testbed::compute_and_save_marching_cubes_mesh,
+src/testbed.cu:369-381 + testbed_nerf.cu:4218-4350):
+
+1. resolution rounded up to a multiple of 16 (testbed_nerf.cu:4298-4300);
+2. SDF sampled with the EMA (inference) params at thresh 0.0 — the raw
+   signed distance, like the reference's `sdf()` path (main.cu:461 passes
+   thresh 0);
+3. TPU-friendly twist: instead of densely evaluating res³ points, a coarse
+   pass (res/4) finds surface-adjacent blocks and only those are evaluated
+   at full resolution (the field eval dominates; this is ~15× fewer
+   samples at 512³ for typical scenes);
+4. vertices mapped to world space: p = (v − offset)/scale, then
+   p = n2w_s·p + n2w_t (marching_cubes.cu:908-935);
+5. winding flipped for from_na scenes (testbed.cu:369-381);
+6. optional vertex colors = albedo activation of the RGB head at the
+   vertex (compute_mesh_vertex_colors, testbed_nerf.cu:4193-4216).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..io.dataset import SceneMeta
+from . import marching
+
+
+def _sdf_volume(field, params, pts: np.ndarray, chunk: int = 1 << 17,
+                valid_level=None) -> np.ndarray:
+    n = pts.shape[0]
+    out = np.empty((n,), np.float32)
+    fn = jax.jit(lambda p, x: field.sdf(p, x, valid_level))
+    pad = (-n) % chunk
+    if pad:
+        pts = np.concatenate([pts, np.zeros((pad, 3), np.float32)], 0)
+    for s in range(0, n + pad, chunk):
+        r = np.asarray(fn(params, jnp.asarray(pts[s:s + chunk])))
+        out[s:min(s + chunk, n)] = r[:min(chunk, n - s)]
+    return out
+
+
+def extract_mesh(field, params, resolution: int = 512,
+                 meta: Optional[SceneMeta] = None,
+                 block: int = 16, coarse_factor: int = 4,
+                 thresh: float = 0.0, aabb=(0.0, 1.0),
+                 with_colors: bool = False):
+    """Returns dict {V (world), F, N (vertex normals), C (colors or None)}."""
+    meta = meta or SceneMeta()
+    res = -(-resolution // 16) * 16
+    lo, hi = aabb
+    span = hi - lo
+    spacing = span / res
+
+    # ---- coarse pass: find surface-adjacent blocks -----------------------
+    cres = res // coarse_factor
+    axc = lo + (np.arange(cres) + 0.5) * (span / cres)
+    cg = np.stack(np.meshgrid(axc, axc, axc, indexing="ij"), -1)
+    csdf = _sdf_volume(field, params, cg.reshape(-1, 3).astype(np.float32)
+                       ).reshape(cres, cres, cres)
+    # a coarse cell spans coarse_factor fine cells; keep blocks whose |sdf|
+    # can reach 0 inside (slack = cell diagonal, SDF Lipschitz ≈ 1, margin 2×)
+    slack = 2.0 * (span / cres) * np.sqrt(3)
+    bsz_c = block // coarse_factor
+    nb = res // block
+    cblk = csdf.reshape(nb, bsz_c, nb, bsz_c, nb, bsz_c)
+    bmin = np.abs(cblk).min(axis=(1, 3, 5))
+    active = np.argwhere(bmin < slack)                     # (B, 3)
+
+    # ---- fine pass per active block (with +1 ring for seams) -------------
+    verts_all, faces_all = [], []
+    ax_local = np.arange(block + 1)
+    for bx, by, bz in active:
+        i0 = np.array([bx, by, bz]) * block
+        idx = i0[None, :] + np.stack(np.meshgrid(
+            ax_local, ax_local, ax_local, indexing="ij"), -1).reshape(-1, 3)
+        pts = lo + idx.astype(np.float32) * spacing
+        np.clip(pts, lo, hi, out=pts)
+        vol = _sdf_volume(field, params, pts).reshape(
+            block + 1, block + 1, block + 1)
+        origin = lo + i0.astype(np.float64) * spacing
+        v, f = marching.marching_tets(vol, origin, spacing, thresh)
+        if len(v):
+            faces_all.append(f + sum(len(x) for x in verts_all))
+            verts_all.append(v)
+
+    if not verts_all:
+        return {"V": np.zeros((0, 3), np.float32),
+                "F": np.zeros((0, 3), np.int64),
+                "N": np.zeros((0, 3), np.float32), "C": None}
+
+    V = np.concatenate(verts_all, 0)
+    F = np.concatenate(faces_all, 0)
+    # weld duplicate vertices on block seams
+    key = np.round(V / spacing * 8.0).astype(np.int64)
+    _, first, inv = np.unique(
+        key[:, 0] * (1 << 42) + key[:, 1] * (1 << 21) + key[:, 2],
+        return_index=True, return_inverse=True)
+    V = V[first]
+    F = inv[F]
+    F = F[(F[:, 0] != F[:, 1]) & (F[:, 1] != F[:, 2]) & (F[:, 0] != F[:, 2])]
+
+    # ---- normals from the SDF gradient (unit-cube space) -----------------
+    _, g, _ = field.sdf_and_grad(params, jnp.asarray(V))
+    N = np.array(g, copy=True)
+    N /= np.maximum(np.linalg.norm(N, axis=1, keepdims=True), 1e-12)
+
+    # ---- vertex colors (albedo head) --------------------------------------
+    C = None
+    if with_colors:
+        out = field.apply(params, jnp.asarray(V))
+        C = np.clip(np.exp(np.clip(np.asarray(out["albedo_raw"]),
+                                   -10, 10)), 0.0, 1.0)
+
+    # ---- to world space ----------------------------------------------------
+    Vw = (V - np.asarray(meta.offset, np.float32)) / meta.scale
+    Vw = meta.n2w_scale * Vw + np.asarray(meta.n2w_translation, np.float32)
+    Nw = N * np.sign(meta.n2w_scale)
+    if meta.from_na:
+        F = F[:, ::-1].copy()   # winding flip (marching_cubes.cu via from_na)
+        Nw = -Nw
+    return {"V": Vw.astype(np.float32), "F": F, "N": Nw.astype(np.float32),
+            "C": C}

@@ -69,3 +69,23 @@ def test_sdf_carved_to_sphere(trained):
 def test_mask_improves(trained):
     tr, first, last = trained
     assert last["loss_mask"] < first[0]["loss_mask"]
+
+
+def test_mesh_from_trained_field(trained, tmp_path):
+    """End-to-end: trained field → marching → world mesh ≈ sphere of the
+    right radius (the reference's full normals-only path, SURVEY §7 step 6)."""
+    from rnb_neus2_tpu.io.dataset import SceneMeta
+    from rnb_neus2_tpu.mesh import extract, postprocess, writer
+
+    tr, _, _ = trained
+    meta = SceneMeta()   # scale .5, offset .5, n2w identity, from_na
+    m = extract.extract_mesh(tr.field, tr.inference_params, resolution=96,
+                             meta=meta)
+    V, F, N, _ = postprocess.largest_component(m["V"], m["F"], m["N"])
+    assert len(V) > 300
+    # world = (unit − 0.5)/0.5 → sphere at origin with radius 2·RADIUS
+    r = np.linalg.norm(V, axis=1)
+    assert abs(float(np.median(r)) - 2 * RADIUS) < 0.06
+    assert float(np.std(r)) < 0.05
+    writer.save_mesh(tmp_path / "m.obj", V, F, N)
+    assert (tmp_path / "m.obj").exists()
