@@ -1,0 +1,156 @@
+"""Testbed CLI — flag-compatible with the reference executable
+(src/main.cu:90-258) so the orchestration layer and Meshroom node work
+unchanged:
+
+  testbed --scene DIR --maxiter N --no-gui [--mask-weight W] [--lone]
+          [--supernormal] [--no-rgbplus] [--bce] [--relu] [--opti-lights]
+          [--no-albedo] [--save-mesh] [--save-snapshot] [--snapshot PATH]
+          [--resolution R] [--save-each K] [--fractional-training N]
+          [--free-memory] [--network CONFIG] [--disable-snap-to-center]
+
+Behavioral mapping (main.cu:283-470):
+- default loss = L2 unless --lone; rgbplus on unless --no-rgbplus;
+- mesh written to <scene>/output/mesh_<maxiter>.obj at --resolution
+  (default 512);
+- snapshot to <scene>/output/snapshot_<maxiter>.msgpack;
+- stdout `iteration=N loss=X` every 100 steps (main.cu:447-449);
+- --snapshot resumes training state (main.cu:304-314);
+- --no-gui accepted for parity (this implementation is always headless).
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import os
+import sys
+
+import numpy as np
+
+
+def build_argparser():
+    p = argparse.ArgumentParser("testbed",
+                                description="TPU RNb-NeuS2 testbed")
+    p.add_argument("--scene", required=True)
+    p.add_argument("--maxiter", type=int, default=10000)
+    p.add_argument("--network", default="")
+    p.add_argument("--mask-weight", type=float, default=1.0)
+    p.add_argument("--save-mesh", action="store_true")
+    p.add_argument("--save-snapshot", action="store_true")
+    p.add_argument("--snapshot", default="")
+    p.add_argument("--no-albedo", action="store_true")
+    p.add_argument("--lone", action="store_true", help="L1 loss")
+    p.add_argument("--supernormal", action="store_true")
+    p.add_argument("--opti-lights", action="store_true")
+    p.add_argument("--no-rgbplus", action="store_true")
+    p.add_argument("--bce", action="store_true")
+    p.add_argument("--relu", action="store_true")
+    p.add_argument("--resolution", type=int, default=512)
+    p.add_argument("--fractional-training", type=int, default=None)
+    p.add_argument("--save-each", type=int, default=0)
+    p.add_argument("--free-memory", action="store_true")
+    p.add_argument("--no-gui", action="store_true")
+    p.add_argument("--disable-snap-to-center", action="store_true")
+    p.add_argument("--seed", type=int, default=42)
+    # TPU-specific extras (not in the reference)
+    p.add_argument("--n-chips", type=int, default=0,
+                   help="0 = all local devices (data-parallel)")
+    return p
+
+
+def default_network_config() -> str:
+    here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    return os.path.join(here, "configs", "nerf", "base.json")
+
+
+def make_config(args):
+    from ..config import RenderFlags, TestbedConfig, TrainConfig
+
+    cfg_path = args.network or default_network_config()
+    if not os.path.isabs(cfg_path) and not os.path.exists(cfg_path):
+        cand = os.path.join(os.path.dirname(default_network_config()),
+                            cfg_path)
+        if os.path.exists(cand):
+            cfg_path = cand
+    cfg = TestbedConfig.from_network_json(cfg_path)
+    flags = RenderFlags(
+        apply_l2=not args.lone,
+        apply_rgbplus=not args.no_rgbplus,
+        apply_supernormal=args.supernormal,
+        apply_relu=args.relu,
+        apply_bce=args.bce,
+        apply_light_opti=args.opti_lights,
+        apply_no_albedo=args.no_albedo,
+    )
+    loss = dataclasses.replace(cfg.loss, mask_loss_weight=args.mask_weight)
+    train = dataclasses.replace(
+        cfg.train if hasattr(cfg, "train") else TrainConfig(),
+        max_steps=args.maxiter, seed=args.seed,
+        fractional_from_step=args.fractional_training)
+    return dataclasses.replace(cfg, flags=flags, loss=loss, train=train)
+
+
+def run(args) -> int:
+    from ..io.dataset import load_transform_json
+    from ..mesh import extract, writer
+    from ..train import snapshot as snap
+    from ..train.trainer import Trainer
+    from ..utils.meters import Logger
+
+    logger = Logger()
+    scene = args.scene.rstrip("/")
+    out_dir = os.path.join(scene, "output")
+    os.makedirs(out_dir, exist_ok=True)
+
+    dataset = load_transform_json(scene)
+    logger.info(f"Loaded {dataset.n_images} views "
+                f"{dataset.resolution[0]}x{dataset.resolution[1]}")
+
+    cfg = make_config(args)
+    trainer = Trainer(dataset, cfg)
+
+    if args.snapshot:
+        if not os.path.exists(args.snapshot):
+            logger.error(f"Snapshot path {args.snapshot} does not exist.")
+            return 1
+        data = snap.load_snapshot(args.snapshot)
+        # rebuild with the snapshot's config but THIS run's flags
+        snap.restore_trainer(trainer, data)
+        logger.info(f"Loaded snapshot at step {trainer.step}")
+
+    def save_mesh_now(tag):
+        m = extract.extract_mesh(trainer.field, trainer.inference_params,
+                                 resolution=args.resolution,
+                                 meta=dataset.meta)
+        path = os.path.join(out_dir, f"mesh_{tag}.obj")
+        writer.save_mesh(path, m["V"], m["F"], m["N"], m["C"])
+        logger.info(f"Saved mesh to {path} "
+                    f"({len(m['V'])} verts, {len(m['F'])} faces)")
+
+    while trainer.step < args.maxiter:
+        trainer.train_step()
+        if trainer.step % 100 == 0:
+            logger.info(f"iteration={trainer.step} "
+                        f"loss={trainer.loss_ema.value:.6f}")
+        if args.save_each and trainer.step % args.save_each == 0 \
+                and trainer.step < args.maxiter:
+            save_mesh_now(trainer.step)
+
+    if args.save_mesh:
+        save_mesh_now(args.maxiter)
+    if args.save_snapshot:
+        path = os.path.join(out_dir, f"snapshot_{args.maxiter}.msgpack")
+        logger.info("Saving Snapshot !")
+        logger.info(path)
+        snap.save_snapshot(path, trainer)
+    return 0
+
+
+def main(argv=None) -> int:
+    args = build_argparser().parse_args(argv)
+    return run(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

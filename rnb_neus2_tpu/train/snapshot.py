@@ -1,0 +1,85 @@
+"""Snapshot save/load: full training state as msgpack.
+
+Logical contents mirror the reference's msgpack snapshot
+(src/testbed.cu:3280-3402): network config, master params, EMA (inference)
+params, optimizer moments, density grid stored fp16 (:3300), adaptive
+rays-per-batch counter (:3351-3353), and the training step. The two-stage
+pipeline resumes stage 2 from stage 1's snapshot exactly like
+`--snapshot` + load_snapshot (src/main.cu:304-314, testbed.cu:3333-3390).
+
+Serialization uses flax's msgpack (real msgpack, pytree-aware), written to
+`snapshot_<step>.msgpack` paths for pipeline-layout parity.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+from typing import Any, Dict
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import serialization
+
+SNAPSHOT_VERSION = 1
+
+
+def _config_to_json(cfg) -> str:
+    return json.dumps(dataclasses.asdict(cfg))
+
+
+def save_snapshot(path: str, trainer) -> None:
+    occ = trainer.occ
+    payload = {
+        "version": np.int32(SNAPSHOT_VERSION),
+        "step": np.int32(trainer.step),
+        "n_rays": np.int32(trainer.n_rays),
+        "config_json": _config_to_json(trainer.cfg),
+        "params": jax.tree_util.tree_map(np.asarray, trainer.params),
+        "ema_params": jax.tree_util.tree_map(
+            np.asarray, trainer.opt_state.ema_params),
+        "adam_state": jax.tree_util.tree_map(
+            np.asarray, trainer.opt_state.adam),
+        "density_grid": np.asarray(occ.density).astype(np.float16),
+        "density_ema_step": np.asarray(occ.ema_step),
+        "rng_key": np.asarray(trainer.key),
+    }
+    with open(path, "wb") as f:
+        f.write(serialization.msgpack_serialize(payload))
+
+
+def load_snapshot(path: str) -> Dict[str, Any]:
+    with open(path, "rb") as f:
+        return serialization.msgpack_restore(f.read())
+
+
+def restore_trainer(trainer, snap: Dict[str, Any]) -> None:
+    """In-place restore onto a freshly constructed Trainer with the same
+    config (the caller builds the Trainer from the snapshot's config)."""
+    from ..grid import occupancy
+
+    def like(template, data):
+        return jax.tree_util.tree_map(
+            lambda t, d: jnp.asarray(d, getattr(t, "dtype", None)),
+            template, data, is_leaf=lambda x: isinstance(x, jnp.ndarray))
+
+    trainer.params = serialization.from_state_dict(trainer.params,
+                                                   snap["params"])
+    adam = serialization.from_state_dict(trainer.opt_state.adam,
+                                         snap["adam_state"])
+    ema = serialization.from_state_dict(trainer.opt_state.ema_params,
+                                        snap["ema_params"])
+    from .optimizer import OptState
+    trainer.opt_state = OptState(adam=adam, ema_params=ema)
+    trainer.step = int(snap["step"])
+    trainer.n_rays = int(snap["n_rays"])
+    density = jnp.asarray(np.asarray(snap["density_grid"]), jnp.float32)
+    mean = jnp.mean(jnp.maximum(density, 0.0))
+    from ..config import NERF_MIN_OPTICAL_THICKNESS
+    bit = density > jnp.minimum(NERF_MIN_OPTICAL_THICKNESS, mean)
+    trainer.occ = occupancy.OccupancyState(
+        density=density, bitfield=bit, mean_density=mean,
+        ema_step=jnp.asarray(np.asarray(snap["density_ema_step"]),
+                             jnp.int32))
+    trainer.key = jnp.asarray(np.asarray(snap["rng_key"]), jnp.uint32)
