@@ -56,6 +56,12 @@ def build_argparser():
     # TPU-specific extras (not in the reference)
     p.add_argument("--n-chips", type=int, default=0,
                    help="0 = all local devices (data-parallel)")
+    p.add_argument("--target-batch-size", type=int, default=0,
+                   help="sample budget per step (0 = reference 2^18)")
+    p.add_argument("--occ-grid-size", type=int, default=0,
+                   help="occupancy grid resolution (0 = reference 128)")
+    p.add_argument("--n-ladder", type=int, default=0,
+                   help="ray-march ladder length (0 = reference 1024)")
     return p
 
 
@@ -84,11 +90,20 @@ def make_config(args):
         apply_no_albedo=args.no_albedo,
     )
     loss = dataclasses.replace(cfg.loss, mask_loss_weight=args.mask_weight)
-    train = dataclasses.replace(
-        cfg.train if hasattr(cfg, "train") else TrainConfig(),
-        max_steps=args.maxiter, seed=args.seed,
-        fractional_from_step=args.fractional_training)
-    return dataclasses.replace(cfg, flags=flags, loss=loss, train=train)
+    train_kw = dict(max_steps=args.maxiter, seed=args.seed,
+                    fractional_from_step=args.fractional_training)
+    if args.target_batch_size:
+        train_kw["target_batch_size"] = args.target_batch_size
+        train_kw["initial_rays_per_batch"] = max(
+            args.target_batch_size // 32, 64)
+    if args.occ_grid_size:
+        train_kw["occ_grid_size"] = args.occ_grid_size
+    train = dataclasses.replace(cfg.train, **train_kw)
+    march = cfg.march
+    if args.n_ladder:
+        march = dataclasses.replace(march, n_ladder=args.n_ladder)
+    return dataclasses.replace(cfg, flags=flags, loss=loss, train=train,
+                               march=march)
 
 
 def run(args) -> int:

@@ -100,3 +100,57 @@ def sphere_dataset(n_views: int = 8, width: int = 48, height: int = 48,
     cams = ring_cameras(n_views, cam_radius, width, height, focal)
     normals, albedo, alphas = render_sphere_views(cams, radius=radius)
     return build_dataset(cams, normals, albedo, alphas, alphas, SceneMeta())
+
+
+def write_prepared_scene(out_dir, n_views: int = 8, width: int = 48,
+                         height: int = 48, radius: float = 0.25,
+                         cam_radius: float = 1.5, focal: float = 70.0,
+                         albedo_scales=None):
+    """Materialize a prepared scene DIRECTORY (transform.json + 16-bit RGBA
+    normals/albedos), exercising the full PNG encode/decode path the real
+    pipeline uses. Cameras are stored in the pre-normalization convention
+    (t raw; the loader applies t → 0.5·t + 0.5)."""
+    import json
+    import os
+
+    from ..io import image_io
+
+    cams = ring_cameras(n_views, cam_radius, width, height, focal)
+    normals, albedo, alphas = render_sphere_views(cams, radius=radius)
+    os.makedirs(os.path.join(out_dir, "normals"), exist_ok=True)
+    os.makedirs(os.path.join(out_dir, "albedos"), exist_ok=True)
+
+    frames = []
+    rots = np.asarray(cams.rot_c2w)
+    origins = np.asarray(cams.origin)
+    for i in range(n_views):
+        # decoded = stored*2−1 with y,z negated → stored = decoded·(1,−1,−1)
+        stored = normals[i] * np.array([1.0, -1.0, -1.0])
+        png = np.concatenate([(stored + 1.0) / 2.0, alphas[i][..., None]],
+                             axis=-1)
+        name = f"{i:05d}.png"
+        image_io.save_image(png, os.path.join(out_dir, "normals", name), 16)
+        a = albedo[i].copy()
+        if albedo_scales is not None:
+            a = np.clip(a * albedo_scales[i], 0, 1)
+        image_io.save_image(
+            np.concatenate([a, alphas[i][..., None]], axis=-1),
+            os.path.join(out_dir, "albedos", name), 16)
+
+        c2w = np.eye(4)
+        c2w[:3, :3] = rots[i]
+        # loader maps t → 0.5·t + 0.5; invert so origins land where built
+        c2w[:3, 3] = (origins[i] - 0.5) / 0.5
+        K = np.eye(4)
+        K[0, 0] = K[1, 1] = focal
+        K[0, 2], K[1, 2] = width / 2.0, height / 2.0
+        frames.append({"albedo_path": f"albedos/{name}",
+                       "normal_path": f"normals/{name}",
+                       "transform_matrix": c2w.tolist(),
+                       "intrinsic_matrix": K.tolist()})
+    tj = {"w": width, "h": height, "aabb_scale": 1.0, "scale": 0.5,
+          "offset": [0.5, 0.5, 0.5], "from_na": True,
+          "n2w": np.eye(4).tolist(), "frames": frames}
+    with open(os.path.join(out_dir, "transform.json"), "w") as f:
+        json.dump(tj, f)
+    return out_dir

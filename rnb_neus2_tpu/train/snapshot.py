@@ -36,11 +36,14 @@ def save_snapshot(path: str, trainer) -> None:
         "step": np.int32(trainer.step),
         "n_rays": np.int32(trainer.n_rays),
         "config_json": _config_to_json(trainer.cfg),
-        "params": jax.tree_util.tree_map(np.asarray, trainer.params),
-        "ema_params": jax.tree_util.tree_map(
-            np.asarray, trainer.opt_state.ema_params),
-        "adam_state": jax.tree_util.tree_map(
-            np.asarray, trainer.opt_state.adam),
+        # to_state_dict flattens tuples/NamedTuples into msgpack-able dicts
+        "params": serialization.to_state_dict(
+            jax.tree_util.tree_map(np.asarray, trainer.params)),
+        "ema_params": serialization.to_state_dict(
+            jax.tree_util.tree_map(np.asarray,
+                                   trainer.opt_state.ema_params)),
+        "adam_state": serialization.to_state_dict(
+            jax.tree_util.tree_map(np.asarray, trainer.opt_state.adam)),
         "density_grid": np.asarray(occ.density).astype(np.float16),
         "density_ema_step": np.asarray(occ.ema_step),
         "rng_key": np.asarray(trainer.key),
