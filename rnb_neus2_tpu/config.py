@@ -195,9 +195,11 @@ class TrainConfig:
     max_rays_per_batch: int = MAX_RAYS_PER_BATCH
     density_grid_decay: float = 0.95
     occ_grid_size: int = NERF_GRIDSIZE
-    # field-evaluation chunk (lax.map): bounds gather intermediates and
-    # works around an XLA-TPU fused gather+MLP-backward compiler crash
-    field_chunk: int = 4096
+    # field-evaluation chunk (lax.map); the analytic-jacobian field no
+    # longer triggers the XLA-TPU fused-backward compiler crash, so the
+    # default runs unchunked (chunk ≥ batch = direct apply); kept as a
+    # memory-bounding knob for huge inference batches
+    field_chunk: int = 1 << 18
     seed: int = 42
     # fractional training (--fractional-training): after this step only SDF
     # (density MLP + hash grid + variance) params keep updating

@@ -131,6 +131,66 @@ def encode(table: jnp.ndarray, positions: jnp.ndarray,
     return out.reshape(n, L * cfg.n_features_per_level)
 
 
+def encode_with_jacobian(table: jnp.ndarray, positions: jnp.ndarray,
+                         static: HashGridStatic,
+                         valid_level: jnp.ndarray | int | None = None):
+    """Encode AND the analytic position-jacobian from one gather.
+
+    Returns (features (N, L·F), jac (N, L·F, 3)) where
+    jac[n, lf, d] = ∂ features[n, lf] / ∂ x[n, d].
+
+    Within a cell the gathered corner features are constants, so the
+    jacobian is exact: d/dx of the trilinear weights times the SAME corner
+    features used by the forward — which is how the reference computes the
+    in-pass SDF gradient (grid.h dy_dx path + nerf_network.h:163-190). One
+    gather (and one scatter-add in the backward) serves both outputs,
+    instead of nested autodiff re-gathering per differentiation level.
+    """
+    cfg = static.cfg
+    L = cfg.n_levels
+    n = positions.shape[0]
+    corners = jnp.asarray(_CORNERS)                        # (8, 3)
+    corn = corners[None, :, :]                             # (1, 8, 3)
+
+    outs, jacs = [], []
+    for lvl in range(L):
+        scale = float(static.scales[lvl])
+        res = jnp.int32(int(static.resolutions[lvl]))
+        tsize = jnp.int32(int(static.table_sizes[lvl]))
+        off = int(static.offsets[lvl])
+        hashed = jnp.int32(int(static.hashed[lvl]))
+
+        p = positions * scale + 0.5
+        p0 = jnp.floor(p)
+        frac = p - p0                                      # (N, 3)
+        cpos = p0.astype(jnp.int32)[:, None, :] + corners[None, :, :]
+        idx = _corner_indices(cpos, res, tsize, hashed) + off
+        feats = table[idx]                                 # (N, 8, F)
+
+        # per-corner weight and its gradient wrt frac
+        wd = jnp.where(corn > 0, frac[:, None, :], 1.0 - frac[:, None, :])
+        sd = jnp.where(corn > 0, 1.0, -1.0)                # dwd/dfrac sign
+        w = wd[..., 0] * wd[..., 1] * wd[..., 2]           # (N, 8)
+        dw = jnp.stack([
+            sd[..., 0] * wd[..., 1] * wd[..., 2],
+            wd[..., 0] * sd[..., 1] * wd[..., 2],
+            wd[..., 0] * wd[..., 1] * sd[..., 2],
+        ], axis=-1)                                        # (N, 8, 3)
+
+        outs.append(jnp.einsum("ncf,nc->nf", feats, w))
+        # dfrac/dx = scale
+        jacs.append(jnp.einsum("ncf,ncd->nfd", feats, dw) * scale)
+
+    out = jnp.stack(outs, axis=1)                          # (N, L, F)
+    jac = jnp.stack(jacs, axis=1)                          # (N, L, F, 3)
+    if valid_level is not None:
+        mask = (jnp.arange(L) < valid_level).astype(out.dtype)
+        out = out * mask[None, :, None]
+        jac = jac * mask[None, :, None, None]
+    F = cfg.n_features_per_level
+    return out.reshape(n, L * F), jac.reshape(n, L * F, 3)
+
+
 def encode_batched(table, positions, static, valid_level=None,
                    batch: int = 1 << 20):
     """Chunked encode for huge inference batches (marching cubes grids)."""
