@@ -31,17 +31,17 @@ def main():
     tr = Trainer(ds, cfg)
 
     # warmup: let occupancy form, batch buckets settle, kernels compile
-    for _ in range(40):
+    for _ in range(20):
         tr.train_step()
 
-    n_steps = 60
+    n_steps = 20
     rays = 0
-    jax.block_until_ready(tr.params["hash_table"])
+    # train_step reads back metrics (host sync) every step, so wall time
+    # here is true end-to-end step time including the occupancy refresh
     t0 = time.perf_counter()
     for _ in range(n_steps):
         out = tr.train_step()
         rays += out["rays_per_batch"]
-    jax.block_until_ready(tr.params["hash_table"])
     dt = time.perf_counter() - t0
 
     n_chips = max(len(jax.devices()), 1)

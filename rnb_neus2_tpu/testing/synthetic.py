@@ -96,9 +96,11 @@ def render_sphere_views(cams: Cameras, center=(0.5, 0.5, 0.5),
 
 def sphere_dataset(n_views: int = 8, width: int = 48, height: int = 48,
                    radius: float = 0.25, cam_radius: float = 1.5,
-                   focal: float = 70.0) -> TrainingDataset:
+                   focal: float = 70.0,
+                   albedo_rgb=(0.8, 0.6, 0.4)) -> TrainingDataset:
     cams = ring_cameras(n_views, cam_radius, width, height, focal)
-    normals, albedo, alphas = render_sphere_views(cams, radius=radius)
+    normals, albedo, alphas = render_sphere_views(cams, radius=radius,
+                                                  albedo_rgb=albedo_rgb)
     return build_dataset(cams, normals, albedo, alphas, alphas, SceneMeta())
 
 
