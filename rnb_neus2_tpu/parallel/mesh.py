@@ -46,7 +46,7 @@ def sharded_grad_fn(dataset, field, cfg: TestbedConfig, mesh: Mesh,
 
     def local_grads(params, bitfield, key, step):
         key = key[0]            # unstack the per-device key row
-        batch, samples, pos = sample_ray_batch(
+        batch, samples, pos, _ = sample_ray_batch(
             dataset, bitfield, key, n_rays_local, n_slots_local, cfg.march)
         from ..train.trainer import valid_level_for_step
         vl = valid_level_for_step(cfg.grid, step)
@@ -60,6 +60,8 @@ def sharded_grad_fn(dataset, field, cfg: TestbedConfig, mesh: Mesh,
 
         (loss, metrics), grads = jax.value_and_grad(
             loss_fn, has_aux=True)(params)
+        metrics = dict(metrics)
+        metrics.pop("_per_ray_color_logged", None)  # per-ray array
         grads = jax.lax.psum(grads, axis)
         loss = jax.lax.psum(loss, axis)
         counts = {"n_samples_kept", "n_rays_alive"}

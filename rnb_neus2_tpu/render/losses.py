@@ -211,6 +211,10 @@ def training_loss(field_out: Dict[str, jnp.ndarray], samples, batch: RayBatch,
 
     n_kept = jnp.sum(keep)
     metrics = {
+        # per-ray pdf-divided loss, splatted into the error map by the
+        # trainer (the reference deposits exactly this mean_loss,
+        # testbed_nerf.cu:1802-1831); popped before scalar logging
+        "_per_ray_color_logged": color_logged,
         "loss_color": jnp.sum(color_logged) / n_rays,
         "loss_mask": jnp.sum(mask) / n_rays,
         "loss_ek": ek / jnp.maximum(n_kept.astype(jnp.float32), 1.0),

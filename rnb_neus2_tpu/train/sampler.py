@@ -31,15 +31,25 @@ from ..render.losses import RayBatch
 
 def sample_ray_batch(dataset: TrainingDataset, bitfield: jnp.ndarray,
                      key: jax.Array, n_rays: int, n_slots: int,
-                     march_cfg: MarchConfig):
-    """Returns (RayBatch, FlatSamples, positions (S, 3))."""
+                     march_cfg: MarchConfig, emap_state=None):
+    """Returns (RayBatch, FlatSamples, positions (S, 3), (img, xy)).
+
+    With emap_state, pixels are drawn from the error-map CDFs (importance
+    sampling, on by default in the reference); otherwise stratified images
+    + uniform pixels.
+    """
     W, H = dataset.resolution
     n_img = dataset.n_images
     k_xy, k_skip, k_light, k_start = jax.random.split(key, 4)
 
-    ray_ids = jnp.arange(n_rays)
-    img = (ray_ids * n_img) // n_rays
-    xy = jax.random.uniform(k_xy, (n_rays, 2))
+    if emap_state is not None:
+        from . import error_map
+        img, xy, pdf = error_map.sample(emap_state, k_xy, n_rays)
+    else:
+        ray_ids = jnp.arange(n_rays)
+        img = ((ray_ids * n_img) // n_rays).astype(jnp.int32)
+        xy = jax.random.uniform(k_xy, (n_rays, 2))
+        pdf = jnp.ones((n_rays,), jnp.float32)
     px = jnp.clip((xy[:, 0] * W).astype(jnp.int32), 0, W - 1)
     py = jnp.clip((xy[:, 1] * H).astype(jnp.int32), 0, H - 1)
 
@@ -71,9 +81,9 @@ def sample_ray_batch(dataset: TrainingDataset, bitfield: jnp.ndarray,
         mask_gt=(alpha_n > 0.99).astype(jnp.float32),
         rot_c2w=dataset.cameras.rot_c2w[img],
         light_idx=light_idx,
-        pdf=jnp.ones((n_rays,), jnp.float32),
+        pdf=pdf,
     )
     rid = jnp.minimum(samples.ray_id, n_rays - 1)
     pos = ray_o[rid] + samples.t[:, None] * ray_d[rid]
     pos = jnp.clip(pos, 0.0, 1.0)
-    return batch, samples, pos
+    return batch, samples, pos, (img, xy)

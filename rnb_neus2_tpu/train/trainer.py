@@ -33,6 +33,7 @@ from ..io.dataset import TrainingDataset
 from ..models.neus_field import NeusField, init_params
 from ..render.losses import training_loss
 from ..utils.meters import Ema
+from . import error_map
 from . import optimizer as opt
 from .sampler import sample_ray_batch
 
@@ -70,6 +71,14 @@ class Trainer:
         self.mask_ema = Ema(half_life_steps=50)
         self.step_ms = Ema(half_life_steps=50)
         self._compiled: Dict[int, Any] = {}
+        # error-map importance sampling (testbed.cu:3600-3725):
+        # first rebuild after 128 steps, interval ×1.5 each time
+        ew, eh = error_map.resolution_for(
+            dataset.n_images, cfg.train.initial_rays_per_batch, 128,
+            dataset.resolution)
+        self.emap = error_map.init_state(dataset.n_images, ew, eh)
+        self._emap_interval = 128
+        self._emap_counter = 0
 
     # ------------------------------------------------------------------
     # jitted pieces
@@ -82,9 +91,10 @@ class Trainer:
         n_slots = cfg.train.target_batch_size
 
         @jax.jit
-        def step_fn(params, opt_state, bitfield, key, step):
-            batch, samples, pos = sample_ray_batch(
-                self.dataset, bitfield, key, n_rays, n_slots, cfg.march)
+        def step_fn(params, opt_state, emap, bitfield, key, step):
+            batch, samples, pos, (img, xy) = sample_ray_batch(
+                self.dataset, bitfield, key, n_rays, n_slots, cfg.march,
+                emap_state=emap)
             vl = valid_level_for_step(cfg.grid, step)
             anneal = jnp.where(
                 cfg.loss.anneal_end <= 0, 1.0,
@@ -107,11 +117,13 @@ class Trainer:
             params, opt_state = opt.apply_updates(
                 tx, cfg.optimizer, params, grads, opt_state, rgb_scale)
             metrics = dict(metrics)
+            emap = error_map.splat(emap, img, xy,
+                                   metrics.pop("_per_ray_color_logged"))
             metrics["n_valid_total"] = jnp.sum(samples.n_valid)
             metrics["n_rays_kept"] = jnp.sum(
                 samples.ray_kept.astype(jnp.int32))
             metrics["loss_total"] = loss
-            return params, opt_state, metrics
+            return params, opt_state, emap, metrics
 
         return step_fn
 
@@ -159,10 +171,17 @@ class Trainer:
         if r not in self._compiled:
             self._compiled[r] = self._make_step_fn(r)
         self.key, k = jax.random.split(self.key)
-        self.params, self.opt_state, metrics = self._compiled[r](
-            self.params, self.opt_state, self.occ.bitfield, k,
+        self.params, self.opt_state, self.emap, metrics = self._compiled[r](
+            self.params, self.opt_state, self.emap, self.occ.bitfield, k,
             jnp.int32(self.step))
         self.step += 1
+
+        # error-map CDF rebuild cadence (testbed.cu:3670-3723)
+        self._emap_counter += 1
+        if self._emap_counter >= self._emap_interval:
+            self.emap = error_map.rebuild(self.emap)
+            self._emap_counter = 0
+            self._emap_interval = int(self._emap_interval * 1.5)
 
         # adaptive rays/batch (testbed_nerf.cu:3554-3555): rescale so the
         # generated (pre-drop) sample count matches the slot budget

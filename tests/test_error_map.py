@@ -1,0 +1,68 @@
+"""Error-map importance sampling: splat/rebuild/sample statistics."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from rnb_neus2_tpu.train import error_map as em
+
+
+def test_splat_accumulates_bilinearly():
+    st = em.init_state(2, ew=8, eh=6)
+    img = jnp.array([0, 1], jnp.int32)
+    xy = jnp.array([[0.5, 0.5], [0.0625, 0.0833333]])  # texel centers
+    st = em.splat(st, img, xy, jnp.array([2.0, 3.0]))
+    a = np.asarray(st.accum)
+    assert abs(a.sum() - 5.0) < 1e-5
+    assert abs(a[0].sum() - 2.0) < 1e-5
+    # second ray at texel (0,0) center of image 1 → all mass in one texel
+    assert abs(a[1, 0, 0] - 3.0) < 1e-4
+
+
+def test_sampling_follows_error_distribution():
+    st = em.init_state(2, ew=4, eh=4)
+    # image 0, texel (1,2) gets all the error
+    img = jnp.zeros((64,), jnp.int32)
+    xy = jnp.tile(jnp.array([[0.375, 0.625]]), (64, 1))
+    st = em.splat(st, img, xy, jnp.ones((64,)))
+    st = em.rebuild(st)
+    assert bool(st.valid)
+    imgs, xys, pdf = em.sample(st, jax.random.PRNGKey(0), 4096)
+    imgs, xys, pdf = map(np.asarray, (imgs, xys, pdf))
+    # image 0 sampled at (1−MIN_PMF) + MIN_PMF/2 ≈ 0.95
+    assert abs((imgs == 0).mean() - 0.95) < 0.03
+    sel = imgs == 0
+    tex = np.floor(xys[sel] * 4).astype(int)
+    hot = (tex[:, 0] == 1) & (tex[:, 1] == 2)
+    assert hot.mean() > 0.95
+    # pdf of the hot texel ≈ n_img·pmf_img × 16·(≈1) ≈ 2·0.95·16
+    assert np.all(pdf[sel][hot] > 10)
+
+
+def test_uniform_fallback_before_first_rebuild():
+    st = em.init_state(4, ew=4, eh=4)
+    imgs, xys, pdf = em.sample(st, jax.random.PRNGKey(1), 4000)
+    imgs, pdf = np.asarray(imgs), np.asarray(pdf)
+    counts = np.bincount(imgs, minlength=4)
+    assert np.all(counts == 1000)          # stratified
+    assert np.all(pdf == 1.0)
+
+
+def test_trainer_integration_smoke():
+    from rnb_neus2_tpu.config import (HashGridConfig, MarchConfig,
+                                      TestbedConfig, TrainConfig)
+    from rnb_neus2_tpu.testing.synthetic import sphere_dataset
+    from rnb_neus2_tpu.train.trainer import Trainer
+
+    ds = sphere_dataset(n_views=4, width=16, height=16, radius=0.2)
+    cfg = TestbedConfig(
+        grid=HashGridConfig(n_levels=3, top_resolution=32),
+        train=TrainConfig(target_batch_size=1 << 10,
+                          initial_rays_per_batch=64, occ_grid_size=16),
+        march=MarchConfig(n_ladder=128))
+    tr = Trainer(ds, cfg)
+    tr._emap_interval = 5   # force a rebuild inside the smoke run
+    for _ in range(12):
+        out = tr.train_step()
+    assert bool(np.asarray(tr.emap.valid))
+    assert np.isfinite(out["loss_total"])
