@@ -104,6 +104,8 @@ class NeusField:
         self.grid = grid
         self.net = net
         self.static = hash_encoding.HashGridStatic(grid)
+        self._encode_jac = hash_encoding.make_encode_with_jacobian_cv(
+            self.static)
 
     # -- SDF ---------------------------------------------------------------
 
@@ -139,6 +141,10 @@ class NeusField:
         directly, which is both the second-order path (d/dparams of ∇sdf)
         and ~2.5× fewer gather/scatter passes than grad-of-grad.
         """
+        # plain autodiff through the joint encode+jacobian measures FASTER
+        # on TPU than a hand-written custom-VJP scatter (XLA schedules the
+        # per-level scatters better than a serial accumulation chain);
+        # make_encode_with_jacobian_cv remains available for experiments
         enc, jac = hash_encoding.encode_with_jacobian(
             params["hash_table"], x, self.static, valid_level)
         w_x, w_enc = params["sdf_mlp"][0]

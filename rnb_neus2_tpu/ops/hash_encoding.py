@@ -131,6 +131,35 @@ def encode(table: jnp.ndarray, positions: jnp.ndarray,
     return out.reshape(n, L * cfg.n_features_per_level)
 
 
+def _level_constants(static: HashGridStatic, lvl: int):
+    return (float(static.scales[lvl]),
+            jnp.int32(int(static.resolutions[lvl])),
+            jnp.int32(int(static.table_sizes[lvl])),
+            int(static.offsets[lvl]),
+            jnp.int32(int(static.hashed[lvl])))
+
+
+def _level_indices_weights(positions, static: HashGridStatic, lvl: int):
+    """(idx (N,8), w (N,8), dw (N,8,3), scale) for one level."""
+    scale, res, tsize, off, hashed = _level_constants(static, lvl)
+    corners = jnp.asarray(_CORNERS)
+    corn = corners[None, :, :]
+    p = positions * scale + 0.5
+    p0 = jnp.floor(p)
+    frac = p - p0
+    cpos = p0.astype(jnp.int32)[:, None, :] + corners[None, :, :]
+    idx = _corner_indices(cpos, res, tsize, hashed) + off
+    wd = jnp.where(corn > 0, frac[:, None, :], 1.0 - frac[:, None, :])
+    sd = jnp.where(corn > 0, 1.0, -1.0)
+    w = wd[..., 0] * wd[..., 1] * wd[..., 2]
+    dw = jnp.stack([
+        sd[..., 0] * wd[..., 1] * wd[..., 2],
+        wd[..., 0] * sd[..., 1] * wd[..., 2],
+        wd[..., 0] * wd[..., 1] * sd[..., 2],
+    ], axis=-1)
+    return idx, w, dw, scale
+
+
 def encode_with_jacobian(table: jnp.ndarray, positions: jnp.ndarray,
                          static: HashGridStatic,
                          valid_level: jnp.ndarray | int | None = None):
@@ -189,6 +218,78 @@ def encode_with_jacobian(table: jnp.ndarray, positions: jnp.ndarray,
         jac = jac * mask[None, :, None, None]
     F = cfg.n_features_per_level
     return out.reshape(n, L * F), jac.reshape(n, L * F, 3)
+
+
+def make_encode_with_jacobian_cv(static: HashGridStatic):
+    """custom-VJP encode_with_jacobian specialized to `static`.
+
+    The generic version lets XLA schedule the backward, which on TPU
+    rematerializes the corner gathers several times (~8× fwd cost). This
+    variant pins the backward to its minimal form: the cotangents of the
+    features and the jacobian combine into ONE per-level (N,8,F) update
+    scattered into the table — no gather recompute at all
+    (the reference's kernel_grid_backward_grid, grid.h:~400, does the same
+    single atomic scatter).
+
+    POSITIONS ARE NON-DIFFERENTIABLE through this op (zero cotangent):
+    training differentiates wrt params only, and the position-gradient of
+    the field is already provided analytically by the jacobian output.
+    """
+    cfg = static.cfg
+    L = cfg.n_levels
+    F = cfg.n_features_per_level
+
+    def fwd_math(table, positions, level_mask):
+        n = positions.shape[0]
+        outs, jacs = [], []
+        for lvl in range(L):
+            idx, w, dw, scale = _level_indices_weights(positions, static,
+                                                       lvl)
+            feats = table[idx]
+            outs.append(jnp.einsum("ncf,nc->nf", feats, w))
+            jacs.append(jnp.einsum("ncf,ncd->nfd", feats, dw) * scale)
+        out = jnp.stack(outs, axis=1) * level_mask[None, :, None]
+        jac = jnp.stack(jacs, axis=1) * level_mask[None, :, None, None]
+        return out.reshape(n, L * F), jac.reshape(n, L * F, 3)
+
+    @jax.custom_vjp
+    def enc(table, positions, level_mask):
+        return fwd_math(table, positions, level_mask)
+
+    def enc_fwd(table, positions, level_mask):
+        # residuals: positions only — indices/weights are cheap arithmetic
+        # recomputed in the backward (NO table gather there), vastly less
+        # HBM traffic than saving the (N,8)·L index/weight tensors
+        return (fwd_math(table, positions, level_mask),
+                (positions, level_mask, table.shape[0]))
+
+    def enc_bwd(saved, cot):
+        positions, level_mask, n_entries = saved
+        g_out, g_jac = cot
+        n = g_out.shape[0]
+        g_out = g_out.reshape(n, L, F) * level_mask[None, :, None]
+        g_jac = g_jac.reshape(n, L, F, 3) * level_mask[None, :, None, None]
+        g_table = jnp.zeros((n_entries, F), g_out.dtype)
+        for lvl in range(L):
+            idx, w, dw, scale = _level_indices_weights(positions, static,
+                                                       lvl)
+            cf = (w[:, :, None] * g_out[:, lvl][:, None, :]
+                  + scale * jnp.einsum("ncd,nfd->ncf", dw, g_jac[:, lvl]))
+            g_table = g_table.at[idx.reshape(-1)].add(
+                cf.reshape(-1, F), mode="drop")
+        return (g_table, jnp.zeros((n, 3), g_out.dtype),
+                jnp.zeros_like(level_mask))
+
+    enc.defvjp(enc_fwd, enc_bwd)
+
+    def apply(table, positions, valid_level=None):
+        if valid_level is None:
+            mask = jnp.ones((L,), table.dtype)
+        else:
+            mask = (jnp.arange(L) < valid_level).astype(table.dtype)
+        return enc(table, positions, mask)
+
+    return apply
 
 
 def encode_batched(table, positions, static, valid_level=None,
