@@ -1,0 +1,184 @@
+"""High-level Python API — the pyngp-module equivalent
+(src/python_api.cu:219-616).
+
+The reference exposes a pybind11 `Testbed` with: construction by mode,
+load_training_data, frame/train loops, render_to_cpu, snapshot save/load,
+compute_marching_cubes_mesh → {V, N, C, F}, calculate_iou, screenshot
+helpers, n_params, loss scalars and the mode enums. This module offers the
+same surface over the JAX implementation.
+
+>>> import rnb_neus2_tpu.api as ngp
+>>> tb = ngp.Testbed(ngp.TestbedMode.Nerf)
+>>> tb.load_training_data("scene_dir/")
+>>> while tb.frame(): ...
+>>> mesh = tb.compute_marching_cubes_mesh(resolution=(512,)*3)
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import enum
+import os
+from typing import Optional, Tuple
+
+import numpy as np
+import jax
+
+
+class TestbedMode(enum.Enum):
+    """ETestbedMode (common.h:153). The RNb pipeline always uses Nerf; the
+    inherited instant-ngp workloads are provided by models/ extras."""
+
+    Nerf = "nerf"
+    Sdf = "sdf"
+    Image = "image"
+    Volume = "volume"
+
+
+class Testbed:
+    """Facade over Trainer + renderer + mesh extraction."""
+
+    def __init__(self, mode: TestbedMode = TestbedMode.Nerf,
+                 config: Optional[object] = None):
+        from .config import TestbedConfig
+
+        if mode != TestbedMode.Nerf:
+            raise NotImplementedError(
+                f"mode {mode}: see rnb_neus2_tpu.models extras; the "
+                "pipeline API drives Nerf mode (main.cu:283)")
+        self.mode = mode
+        self.cfg = config or TestbedConfig()
+        self.max_iter = self.cfg.train.max_steps
+        self._trainer = None
+        self._dataset = None
+        self.shall_train = True
+        self.background_color = (1.0, 1.0, 1.0, 1.0)
+
+    # -- data ----------------------------------------------------------------
+
+    def load_training_data(self, scene_dir: str) -> None:
+        from .io.dataset import load_transform_json
+        from .train.trainer import Trainer
+
+        self._dataset = load_transform_json(str(scene_dir))
+        self._trainer = Trainer(self._dataset, self.cfg)
+
+    def reload_network_from_file(self, path: str = "") -> None:
+        from .config import TestbedConfig
+        from .train.trainer import Trainer
+
+        if path:
+            self.cfg = TestbedConfig.from_network_json(path)
+        if self._dataset is not None:
+            self._trainer = Trainer(self._dataset, self.cfg)
+
+    # -- training -------------------------------------------------------------
+
+    def frame(self) -> bool:
+        """One training step; False once max_iter is reached
+        (Testbed::frame, testbed.cu:1826-1919)."""
+        if not self.shall_train or self.training_step >= self.max_iter:
+            return False
+        self._trainer.train_step()
+        return True
+
+    def train(self, n_steps: int) -> None:
+        for _ in range(n_steps):
+            self._trainer.train_step()
+
+    @property
+    def training_step(self) -> int:
+        return self._trainer.step if self._trainer else 0
+
+    @property
+    def loss(self) -> float:
+        return self._trainer.loss_ema.value if self._trainer else 0.0
+
+    @property
+    def ek_loss(self) -> float:
+        return self._trainer.ek_ema.value if self._trainer else 0.0
+
+    @property
+    def mask_loss(self) -> float:
+        return self._trainer.mask_ema.value if self._trainer else 0.0
+
+    def n_params(self) -> int:
+        return sum(int(np.prod(l.shape)) for l in
+                   jax.tree_util.tree_leaves(self._trainer.params))
+
+    def set_max_iter(self, n: int) -> None:
+        self.max_iter = n
+
+    # -- rendering -------------------------------------------------------------
+
+    def render_to_cpu(self, view_idx: int = 0, max_samples: int = 256
+                      ) -> np.ndarray:
+        """Render a training view → (H, W, 4) float RGBA."""
+        from .render.renderer import render_view
+
+        out = render_view(self._trainer.field,
+                          self._trainer.inference_params,
+                          self._dataset.cameras, view_idx,
+                          self._trainer.occ.bitfield,
+                          self.cfg.march, max_samples=max_samples,
+                          background=self.background_color[:3])
+        return np.concatenate([out["albedo"], out["alpha"][..., None]],
+                              axis=-1)
+
+    def screenshot(self, path: str, view_idx: int = 0) -> None:
+        from .io.image_io import save_image
+
+        save_image(self.render_to_cpu(view_idx), path, bit_depth=8)
+
+    # -- mesh -------------------------------------------------------------------
+
+    def compute_marching_cubes_mesh(self, resolution: Tuple[int, int, int]
+                                    = (256, 256, 256), thresh: float = 0.0
+                                    ) -> dict:
+        """→ {"V", "N", "C", "F"} like pyngp (python_api.cu mesh dict)."""
+        from .mesh.extract import extract_mesh
+
+        m = extract_mesh(self._trainer.field,
+                         self._trainer.inference_params,
+                         resolution=int(resolution[0]),
+                         meta=self._dataset.meta, thresh=thresh,
+                         with_colors=True)
+        return {"V": m["V"], "N": m["N"], "C": m["C"], "F": m["F"]}
+
+    def save_mesh(self, path: str, resolution=(256, 256, 256)) -> None:
+        from .mesh.writer import save_mesh
+
+        m = self.compute_marching_cubes_mesh(resolution)
+        save_mesh(path, m["V"], m["F"], m["N"], m["C"])
+
+    # -- snapshots ----------------------------------------------------------------
+
+    def save_snapshot(self, path: str, include_optimizer: bool = True
+                      ) -> None:
+        from .train import snapshot as snap
+
+        snap.save_snapshot(path, self._trainer)
+
+    def load_snapshot(self, path: str) -> None:
+        from .train import snapshot as snap
+
+        snap.restore_trainer(self._trainer, snap.load_snapshot(path))
+
+    # -- evaluation ------------------------------------------------------------------
+
+    def calculate_iou(self, n_samples: int = 128 ** 3, thresh: float = 0.0,
+                      gt_sdf=None, seed: int = 0) -> float:
+        """Volumetric IoU between the learned SDF and a ground-truth SDF
+        callable over [0,1]³ (Testbed::calculate_iou, testbed.h:378)."""
+        import jax.numpy as jnp
+
+        key = jax.random.PRNGKey(seed)
+        pts = jax.random.uniform(key, (n_samples, 3))
+        pred = np.asarray(self._trainer.field.sdf(
+            self._trainer.inference_params, pts)) < thresh
+        if gt_sdf is None:
+            raise ValueError("calculate_iou needs a gt_sdf callable")
+        gt = np.asarray(gt_sdf(np.asarray(pts))) < thresh
+        inter = np.logical_and(pred, gt).sum()
+        union = np.logical_or(pred, gt).sum()
+        return float(inter) / max(float(union), 1.0)

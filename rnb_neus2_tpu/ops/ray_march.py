@@ -101,6 +101,7 @@ def march(ray_o: jnp.ndarray, ray_d: jnp.ndarray, bitfield: jnp.ndarray,
           cone_angle: float) -> MarchedRays:
     """Dense per-ray compaction: first M valid samples of each ray
     (order-preserving top_k). Used by the inference renderer and tests."""
+    max_samples = min(max_samples, n_ladder)
     t, dt, valid, n_valid = _ladder_valid(ray_o, ray_d, bitfield, u_start,
                                           n_ladder, cone_angle)
     k = jnp.arange(n_ladder, dtype=jnp.int32)[None, :]

@@ -1,0 +1,52 @@
+"""pyngp-equivalent API facade smoke test."""
+
+import numpy as np
+import pytest
+
+cv2 = pytest.importorskip("cv2")
+
+import rnb_neus2_tpu.api as ngp
+from rnb_neus2_tpu.config import (HashGridConfig, MarchConfig, TestbedConfig,
+                                  TrainConfig)
+from rnb_neus2_tpu.testing.synthetic import write_prepared_scene
+
+
+def test_api_surface(tmp_path):
+    scene = tmp_path / "scene"
+    write_prepared_scene(str(scene), n_views=4, width=16, height=16,
+                         radius=0.2)
+    cfg = TestbedConfig(
+        grid=HashGridConfig(n_levels=3, top_resolution=32),
+        train=TrainConfig(target_batch_size=1 << 10,
+                          initial_rays_per_batch=64, occ_grid_size=16,
+                          max_steps=6),
+        march=MarchConfig(n_ladder=128))
+    tb = ngp.Testbed(ngp.TestbedMode.Nerf, cfg)
+    tb.load_training_data(str(scene))
+    tb.set_max_iter(6)
+    steps = 0
+    while tb.frame():
+        steps += 1
+    assert steps == 6 and tb.training_step == 6
+    assert tb.n_params() > 1000
+    assert np.isfinite(tb.loss)
+
+    img = tb.render_to_cpu(0, max_samples=32)
+    assert img.shape == (16, 16, 4)
+    tb.screenshot(tmp_path / "shot.png")
+    assert (tmp_path / "shot.png").exists()
+
+    snap = tmp_path / "s.msgpack"
+    tb.save_snapshot(str(snap))
+    tb2 = ngp.Testbed(ngp.TestbedMode.Nerf, cfg)
+    tb2.load_training_data(str(scene))
+    tb2.load_snapshot(str(snap))
+    assert tb2.training_step == 6
+
+    iou = tb.calculate_iou(
+        n_samples=4096,
+        gt_sdf=lambda p: np.linalg.norm(p - 0.5, axis=-1) - 0.2)
+    assert 0.0 <= iou <= 1.0
+
+    m = tb.compute_marching_cubes_mesh((48, 48, 48))
+    assert set(m.keys()) == {"V", "N", "C", "F"}
