@@ -217,3 +217,141 @@ void rc_closest_hits(void* handle, const float* origins, const float* dirs,
 void rc_free(void* handle) { delete static_cast<BVH*>(handle); }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// point-to-mesh distance + ray parity (the reference's TriangleBvh
+// signed-distance queries, src/triangle_bvh.cu raystab mode)
+// ---------------------------------------------------------------------------
+
+namespace {
+
+static inline float clampf(float v, float lo, float hi) {
+  return v < lo ? lo : (v > hi ? hi : v);
+}
+
+// squared distance from point p to triangle (a, a+e1, a+e2)
+static inline float point_tri_d2(Vec3 p, Vec3 a, Vec3 e1, Vec3 e2) {
+  Vec3 d = sub(p, a);
+  float a11 = dot(e1, e1), a12 = dot(e1, e2), a22 = dot(e2, e2);
+  float b1 = dot(e1, d), b2 = dot(e2, d);
+  float det = a11 * a22 - a12 * a12;
+  float u = (a22 * b1 - a12 * b2), v = (a11 * b2 - a12 * b1);
+  if (det > 0 && u >= 0 && v >= 0 && u + v <= det) {
+    u /= det;
+    v /= det;
+  } else {
+    // clamp to edges: test the three edges, keep the best
+    auto seg = [&](Vec3 s0, Vec3 dir, float len2) {
+      float t = len2 > 0 ? clampf(dot(sub(p, s0), dir) / len2, 0.f, 1.f) : 0.f;
+      Vec3 q{s0.x + t * dir.x, s0.y + t * dir.y, s0.z + t * dir.z};
+      Vec3 pq = sub(p, q);
+      return dot(pq, pq);
+    };
+    Vec3 b{a.x + e1.x, a.y + e1.y, a.z + e1.z};
+    Vec3 e3 = sub(e2, e1);
+    float d2 = seg(a, e1, a11);
+    float d2b = seg(a, e2, a22);
+    float d2c = seg(b, e3, dot(e3, e3));
+    return std::min(d2, std::min(d2b, d2c));
+  }
+  Vec3 q{a.x + u * e1.x + v * e2.x, a.y + u * e1.y + v * e2.y,
+         a.z + u * e1.z + v * e2.z};
+  Vec3 pq = sub(p, q);
+  return dot(pq, pq);
+}
+
+static inline float point_aabb_d2(const AABB& b, Vec3 p) {
+  float dx = std::max({b.lo.x - p.x, 0.0f, p.x - b.hi.x});
+  float dy = std::max({b.lo.y - p.y, 0.0f, p.y - b.hi.y});
+  float dz = std::max({b.lo.z - p.z, 0.0f, p.z - b.hi.z});
+  return dx * dx + dy * dy + dz * dz;
+}
+
+static void closest_point(const BVH& bvh, Vec3 p, float* d2_best,
+                          int32_t* tri_best) {
+  int32_t stack[64];
+  int sp = 0;
+  stack[sp++] = 0;
+  while (sp) {
+    const Node& n = bvh.nodes[stack[--sp]];
+    if (point_aabb_d2(n.box, p) >= *d2_best) continue;
+    if (n.b <= 0) {
+      int first = n.a, cnt = -n.b;
+      for (int i = 0; i < cnt; ++i) {
+        float d2 = point_tri_d2(p, bvh.p0[first + i], bvh.e1[first + i],
+                                bvh.e2[first + i]);
+        if (d2 < *d2_best) {
+          *d2_best = d2;
+          *tri_best = bvh.tri_ids[first + i];
+        }
+      }
+    } else if (sp < 62) {
+      stack[sp++] = n.a;
+      stack[sp++] = n.b;
+    }
+  }
+}
+
+static int count_hits(const BVH& bvh, Vec3 o, Vec3 d) {
+  Vec3 inv{1.0f / d.x, 1.0f / d.y, 1.0f / d.z};
+  int32_t stack[64];
+  int sp = 0, count = 0;
+  stack[sp++] = 0;
+  while (sp) {
+    const Node& n = bvh.nodes[stack[--sp]];
+    if (!slab_hit(n.box, o, inv, FLT_MAX)) continue;
+    if (n.b <= 0) {
+      int first = n.a, cnt = -n.b;
+      for (int i = 0; i < cnt; ++i) {
+        float t;
+        if (tri_hit(o, d, bvh.p0[first + i], bvh.e1[first + i],
+                    bvh.e2[first + i], &t))
+          ++count;
+      }
+    } else if (sp < 62) {
+      stack[sp++] = n.a;
+      stack[sp++] = n.b;
+    }
+  }
+  return count;
+}
+
+}  // namespace
+
+extern "C" {
+
+// Unsigned distance + nearest triangle per point.
+void rc_closest_points(void* handle, const float* pts, int64_t n,
+                       float* out_dist, int32_t* out_tri) {
+  auto* bvh = static_cast<BVH*>(handle);
+#pragma omp parallel for schedule(dynamic, 256)
+  for (int64_t i = 0; i < n; ++i) {
+    float d2 = FLT_MAX;
+    int32_t tri = -1;
+    if (!bvh->nodes.empty()) {
+      Vec3 p{pts[3 * i], pts[3 * i + 1], pts[3 * i + 2]};
+      closest_point(*bvh, p, &d2, &tri);
+    }
+    out_dist[i] = std::sqrt(d2);
+    out_tri[i] = tri;
+  }
+}
+
+// Parity sign via ray-stab intersection counting (odd = inside). Uses a
+// fixed slightly-irrational direction to dodge shared-edge double counts.
+void rc_inside(void* handle, const float* pts, int64_t n,
+               int32_t* out_inside) {
+  auto* bvh = static_cast<BVH*>(handle);
+  Vec3 dir{0.57735f, 0.70711f, 0.40825f};
+#pragma omp parallel for schedule(dynamic, 256)
+  for (int64_t i = 0; i < n; ++i) {
+    int c = 0;
+    if (!bvh->nodes.empty()) {
+      Vec3 p{pts[3 * i], pts[3 * i + 1], pts[3 * i + 2]};
+      c = count_hits(*bvh, p, dir);
+    }
+    out_inside[i] = c & 1;
+  }
+}
+
+}  // extern "C"

