@@ -102,6 +102,8 @@ def make_config(args):
     march = cfg.march
     if args.n_ladder:
         march = dataclasses.replace(march, n_ladder=args.n_ladder)
+    if args.disable_snap_to_center:
+        march = dataclasses.replace(march, snap_to_pixel_centers=False)
     return dataclasses.replace(cfg, flags=flags, loss=loss, train=train,
                                march=march)
 

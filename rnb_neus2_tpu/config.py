@@ -185,6 +185,9 @@ class MarchConfig:
     n_ladder: int = 1024            # max t-ladder points per ray (= NERF_STEPS)
     max_samples_per_ray: int = 1024 # hard cap, = reference NERF_STEPS
     cone_angle: float = DEFAULT_CONE_ANGLE
+    # training rays snap to pixel centers by default (testbed.h:650;
+    # --disable-snap-to-center turns it off, testbed.cu:307-310)
+    snap_to_pixel_centers: bool = True
 
 
 @dataclasses.dataclass(frozen=True)

@@ -52,6 +52,10 @@ def sample_ray_batch(dataset: TrainingDataset, bitfield: jnp.ndarray,
         pdf = jnp.ones((n_rays,), jnp.float32)
     px = jnp.clip((xy[:, 0] * W).astype(jnp.int32), 0, W - 1)
     py = jnp.clip((xy[:, 1] * H).astype(jnp.int32), 0, H - 1)
+    if march_cfg.snap_to_pixel_centers:
+        # default-on in the reference (testbed.h:650,
+        # nerf_random_image_pos_training :1180)
+        xy = jnp.stack([(px + 0.5) / W, (py + 0.5) / H], axis=1)
 
     flat = (img * H + py) * W + px
     gather = lambda a: a.reshape((-1,) + a.shape[3:])[flat]

@@ -32,6 +32,7 @@ from ..grid import occupancy
 from ..io.dataset import TrainingDataset
 from ..models.neus_field import NeusField, init_params
 from ..render.losses import training_loss
+from ..utils.diagnostics import LossGraph
 from ..utils.meters import Ema
 from . import error_map
 from . import optimizer as opt
@@ -70,6 +71,7 @@ class Trainer:
         self.ek_ema = Ema(half_life_steps=50)
         self.mask_ema = Ema(half_life_steps=50)
         self.step_ms = Ema(half_life_steps=50)
+        self.loss_graph = LossGraph()
         self._compiled: Dict[int, Any] = {}
         # error-map importance sampling (testbed.cu:3600-3725):
         # first rebuild after 128 steps, interval ×1.5 each time
@@ -198,6 +200,7 @@ class Trainer:
         self.loss_ema.update(out["loss_color"])
         self.ek_ema.update(out["loss_ek"])
         self.mask_ema.update(out["loss_mask"])
+        self.loss_graph.update(out["loss_color"])
         self.step_ms.update((time.perf_counter() - t0) * 1e3)
         return out
 
