@@ -42,14 +42,13 @@ def main():
         tr.train_step()
 
     n_steps = 32
-    rays = 0
-    # train_step reads back metrics (host sync) every step, so wall time
-    # here is true end-to-end step time including the occupancy refresh
+    # async stepping: metrics sync every 8 steps (the per-step host
+    # readback would serialize the device queue, especially over remote
+    # transports); the final sync bounds the wall clock
     t0 = time.perf_counter()
-    for _ in range(n_steps):
-        out = tr.train_step()
-        rays += out["rays_per_batch"]
+    out = tr.train_steps(n_steps, sync_every=8)
     dt = time.perf_counter() - t0
+    rays = out["rays_per_batch"] * n_steps
 
     n_chips = max(len(jax.devices()), 1)
     rays_per_sec = rays / dt / n_chips

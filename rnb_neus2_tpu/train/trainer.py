@@ -161,6 +161,65 @@ class Trainer:
         return 1 << max(lo - 3,
                         min(18, int(round(math.log2(max(self.n_rays, 1))))))
 
+    def train_step_async(self):
+        """One step with NO host synchronization: metrics stay on device.
+
+        The reference's CUDA stream naturally pipelines steps; under jit
+        dispatch the equivalent is avoiding per-step host readbacks (which
+        serialize the device queue, badly so over remote-device
+        transports). The adaptive-batch controller consumes the latest
+        FETCHED metrics, so adaptation lags by however many steps the
+        caller lets queue — harmless, the signal is slow-moving.
+        """
+        cadence = occupancy.update_cadence(self.step)
+        if self.step % cadence == 0:
+            self.key, k = jax.random.split(self.key)
+            self.occ = self._occ_update_fn(self.params, self.occ, k,
+                                           jnp.int32(self.step))
+        r = self._bucket()
+        if r not in self._compiled:
+            self._compiled[r] = self._make_step_fn(r)
+        self.key, k = jax.random.split(self.key)
+        self.params, self.opt_state, self.emap, metrics = self._compiled[r](
+            self.params, self.opt_state, self.emap, self.occ.bitfield, k,
+            jnp.int32(self.step))
+        self.step += 1
+        self._emap_counter += 1
+        if self._emap_counter >= self._emap_interval:
+            self.emap = error_map.rebuild(self.emap)
+            self._emap_counter = 0
+            self._emap_interval = int(self._emap_interval * 1.5)
+        metrics["rays_per_batch"] = r
+        return metrics
+
+    def _consume_metrics(self, metrics) -> Dict[str, float]:
+        r = metrics.pop("rays_per_batch")
+        out = {k2: float(v) for k2, v in metrics.items()}
+        out["rays_per_batch"] = r
+        n_valid = out["n_valid_total"]
+        if n_valid > 0:
+            target = self.cfg.train.target_batch_size
+            self.n_rays = int(np.clip(
+                r * target / n_valid,
+                self.cfg.train.initial_rays_per_batch // 8,
+                self.cfg.train.max_rays_per_batch))
+        self.loss_ema.update(out["loss_color"])
+        self.ek_ema.update(out["loss_ek"])
+        self.mask_ema.update(out["loss_mask"])
+        self.loss_graph.update(out["loss_color"])
+        return out
+
+    def train_steps(self, n: int, sync_every: int = 10
+                    ) -> Dict[str, float]:
+        """Run n steps, syncing metrics only every sync_every steps."""
+        out = {}
+        metrics = None
+        for i in range(n):
+            metrics = self.train_step_async()
+            if (i + 1) % sync_every == 0 or i == n - 1:
+                out = self._consume_metrics(metrics)
+        return out
+
     def train_step(self) -> Dict[str, float]:
         t0 = time.perf_counter()
         cadence = occupancy.update_cadence(self.step)
