@@ -269,14 +269,20 @@ def make_encode_with_jacobian_cv(static: HashGridStatic):
         n = g_out.shape[0]
         g_out = g_out.reshape(n, L, F) * level_mask[None, :, None]
         g_jac = g_jac.reshape(n, L, F, 3) * level_mask[None, :, None, None]
-        g_table = jnp.zeros((n_entries, F), g_out.dtype)
+        # one WIDTH-1 scatter per feature column: measured ~8× faster per
+        # element than scattering (rows of F) on TPU, which dominates the
+        # whole training step otherwise
+        cols = [jnp.zeros((n_entries,), g_out.dtype) for _ in range(F)]
         for lvl in range(L):
             idx, w, dw, scale = _level_indices_weights(positions, static,
                                                        lvl)
+            flat_idx = idx.reshape(-1)
             cf = (w[:, :, None] * g_out[:, lvl][:, None, :]
                   + scale * jnp.einsum("ncd,nfd->ncf", dw, g_jac[:, lvl]))
-            g_table = g_table.at[idx.reshape(-1)].add(
-                cf.reshape(-1, F), mode="drop")
+            for f in range(F):
+                cols[f] = cols[f].at[flat_idx].add(
+                    cf[:, :, f].reshape(-1), mode="drop")
+        g_table = jnp.stack(cols, axis=1)
         return (g_table, jnp.zeros((n, 3), g_out.dtype),
                 jnp.zeros_like(level_mask))
 
