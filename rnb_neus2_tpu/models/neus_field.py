@@ -104,13 +104,20 @@ class NeusField:
         self.grid = grid
         self.net = net
         self.static = hash_encoding.HashGridStatic(grid)
-        self._encode_jac = hash_encoding.make_encode_with_jacobian_cv(
-            self.static)
+        self._encode_jac_variants: Dict[int, Any] = {}
+
+    def _encode_jac(self, table, x, valid_level, n_active=None):
+        key = min(self.grid.n_levels, n_active or self.grid.n_levels)
+        if key not in self._encode_jac_variants:
+            self._encode_jac_variants[key] = \
+                hash_encoding.make_encode_with_jacobian_cv(self.static, key)
+        return self._encode_jac_variants[key](table, x, valid_level)
 
     # -- SDF ---------------------------------------------------------------
 
     def sdf_features(self, params, x: jnp.ndarray,
-                     valid_level=None) -> jnp.ndarray:
+                     valid_level=None,
+                     n_active: int | None = None) -> jnp.ndarray:
         """(N,3)→(N,16) raw SDF-MLP output (row 0 + bias = sdf).
 
         The first layer is applied as split matmuls over the [xyz | enc]
@@ -120,16 +127,19 @@ class NeusField:
         crash in the fused concat+relu backward.
         """
         enc = hash_encoding.encode(params["hash_table"], x, self.static,
-                                   valid_level)
+                                   valid_level, n_active)
         w_x, w_enc = params["sdf_mlp"][0]
         h = jax.nn.relu((x - 0.5) @ w_x.T + enc @ w_enc.T)
         return apply_mlp(params["sdf_mlp"][1:], h)
 
-    def sdf(self, params, x: jnp.ndarray, valid_level=None) -> jnp.ndarray:
+    def sdf(self, params, x: jnp.ndarray, valid_level=None,
+            n_active: int | None = None) -> jnp.ndarray:
         """(N,3)→(N,) signed distance (with bias; nerf_network.h:225-232)."""
-        return self.sdf_features(params, x, valid_level)[:, 0] + self.net.sdf_bias
+        return self.sdf_features(params, x, valid_level,
+                                 n_active)[:, 0] + self.net.sdf_bias
 
-    def sdf_and_grad(self, params, x: jnp.ndarray, valid_level=None):
+    def sdf_and_grad(self, params, x: jnp.ndarray, valid_level=None,
+                     n_active: int | None = None):
         """sdf, analytic ∇sdf, and the 16-wide SDF features — all from ONE
         hash gather, all differentiable wrt params.
 
@@ -143,8 +153,10 @@ class NeusField:
         """
         # custom-VJP encode: row-gather forward, per-feature WIDTH-1
         # scatters in the backward (~8× faster per element than XLA's
-        # row-scatter transpose, which otherwise dominates the step)
-        enc, jac = self._encode_jac(params["hash_table"], x, valid_level)
+        # row-scatter transpose, which otherwise dominates the step);
+        # n_active statically skips progressively-locked levels
+        enc, jac = self._encode_jac(params["hash_table"], x, valid_level,
+                                    n_active)
         w_x, w_enc = params["sdf_mlp"][0]
         pre = (x - 0.5) @ w_x.T + enc @ w_enc.T
         h = jax.nn.relu(pre)
@@ -167,15 +179,16 @@ class NeusField:
 
     # -- full field ---------------------------------------------------------
 
-    def apply(self, params, x: jnp.ndarray, valid_level=None
-              ) -> Dict[str, jnp.ndarray]:
+    def apply(self, params, x: jnp.ndarray, valid_level=None,
+              n_active: int | None = None) -> Dict[str, jnp.ndarray]:
         """Full forward: albedo_raw, sdf, grad, variance.
 
         Mirrors the 16-wide packed output of nerf_network.h:225-250:
         [0:3]=albedo raw, [3]=sdf, [4:7]=∇sdf, [7]=variance, [8:11]=viewdir
         — returned here as a dict (viewdir passthrough is left to callers).
         """
-        sdf, grad, feats = self.sdf_and_grad(params, x, valid_level)
+        sdf, grad, feats = self.sdf_and_grad(params, x, valid_level,
+                                             n_active)
         # RGB first layer as split matmuls over the input blocks
         # [feat(16) | dir-encoding(16, never computed → zeros) | xyz | ∇sdf]
         # — identical to the reference's packed 48-wide input, minus the
@@ -191,7 +204,8 @@ class NeusField:
         }
 
     def apply_chunked(self, params, x: jnp.ndarray, valid_level=None,
-                      chunk: int = 4096) -> Dict[str, jnp.ndarray]:
+                      chunk: int = 4096,
+                      n_active: int | None = None) -> Dict[str, jnp.ndarray]:
         """apply() in fixed-size chunks via lax.map.
 
         Two reasons: (a) bounds the live intermediates of the 14-level
@@ -203,8 +217,9 @@ class NeusField:
         if n <= chunk:
             return self.apply(params, x, valid_level)
         assert n % chunk == 0, (n, chunk)
-        outs = jax.lax.map(lambda xx: self.apply(params, xx, valid_level),
-                           x.reshape(-1, chunk, 3))
+        outs = jax.lax.map(
+            lambda xx: self.apply(params, xx, valid_level, n_active),
+            x.reshape(-1, chunk, 3))
         return {
             "albedo_raw": outs["albedo_raw"].reshape(n, 3),
             "sdf": outs["sdf"].reshape(n),
@@ -212,10 +227,11 @@ class NeusField:
             "variance": outs["variance"][0],
         }
 
-    def density(self, params, x: jnp.ndarray, valid_level=None) -> jnp.ndarray:
+    def density(self, params, x: jnp.ndarray, valid_level=None,
+                n_active: int | None = None) -> jnp.ndarray:
         """sdf → NeuS density s·σ(s·sdf)·(1−σ(s·sdf))
         (common_operation.cuh:311-328), used for the occupancy grid."""
-        sdf = self.sdf(params, x, valid_level)
+        sdf = self.sdf(params, x, valid_level, n_active)
         s = jnp.exp(10.0 * params["variance"][0])
         sig = jax.nn.sigmoid(sdf * s)
         return s * sig * (1.0 - sig)

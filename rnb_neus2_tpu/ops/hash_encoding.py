@@ -83,7 +83,7 @@ _CORNERS = np.array([[i & 1, (i >> 1) & 1, (i >> 2) & 1] for i in range(8)],
 
 def encode(table: jnp.ndarray, positions: jnp.ndarray,
            static: HashGridStatic, valid_level: jnp.ndarray | int | None = None,
-           ) -> jnp.ndarray:
+           n_active: int | None = None) -> jnp.ndarray:
     """Encode positions through all levels.
 
     Args:
@@ -98,6 +98,7 @@ def encode(table: jnp.ndarray, positions: jnp.ndarray,
     """
     cfg = static.cfg
     L = cfg.n_levels
+    La = min(L, n_active) if n_active else L
     n = positions.shape[0]
     corners = jnp.asarray(_CORNERS)                        # (8, 3)
 
@@ -105,7 +106,7 @@ def encode(table: jnp.ndarray, positions: jnp.ndarray,
     # (N, L, 8) mega-gather — smaller live intermediates, and each level's
     # gather/scatter-add keeps a simple shape the TPU compiler handles well
     outs = []
-    for lvl in range(L):
+    for lvl in range(La):
         scale = float(static.scales[lvl])
         res = jnp.int32(int(static.resolutions[lvl]))
         tsize = jnp.int32(int(static.table_sizes[lvl]))
@@ -122,11 +123,15 @@ def encode(table: jnp.ndarray, positions: jnp.ndarray,
                                1.0 - frac[:, None, :]), axis=-1)       # (N,8)
         outs.append(jnp.sum(feats * w[..., None], axis=1))  # (N, F)
 
-    out = jnp.stack(outs, axis=1)                           # (N, L, F)
+    out = jnp.stack(outs, axis=1)                           # (N, La, F)
     if valid_level is not None:
-        lvl_ids = jnp.arange(L)
-        mask = (lvl_ids < valid_level).astype(out.dtype)   # (L,)
+        lvl_ids = jnp.arange(La)
+        mask = (lvl_ids < valid_level).astype(out.dtype)   # (La,)
         out = out * mask[None, :, None]
+    if La < L:
+        out = jnp.concatenate(
+            [out, jnp.zeros((n, L - La, cfg.n_features_per_level),
+                            out.dtype)], axis=1)
 
     return out.reshape(n, L * cfg.n_features_per_level)
 
@@ -220,7 +225,8 @@ def encode_with_jacobian(table: jnp.ndarray, positions: jnp.ndarray,
     return out.reshape(n, L * F), jac.reshape(n, L * F, 3)
 
 
-def make_encode_with_jacobian_cv(static: HashGridStatic):
+def make_encode_with_jacobian_cv(static: HashGridStatic,
+                                 n_active: int | None = None):
     """custom-VJP encode_with_jacobian specialized to `static`.
 
     The generic version lets XLA schedule the backward, which on TPU
@@ -234,22 +240,32 @@ def make_encode_with_jacobian_cv(static: HashGridStatic):
     POSITIONS ARE NON-DIFFERENTIABLE through this op (zero cotangent):
     training differentiates wrt params only, and the position-gradient of
     the field is already provided analytically by the jacobian output.
+
+    n_active statically limits the processed levels (progressive
+    unlocking, grid.h:1430-1436): locked levels emit zeros WITHOUT any
+    gather/scatter — the trainer compiles one variant per level bucket.
     """
     cfg = static.cfg
     L = cfg.n_levels
     F = cfg.n_features_per_level
+    La = min(L, n_active) if n_active else L
 
     def fwd_math(table, positions, level_mask):
         n = positions.shape[0]
         outs, jacs = [], []
-        for lvl in range(L):
+        for lvl in range(La):
             idx, w, dw, scale = _level_indices_weights(positions, static,
                                                        lvl)
             feats = table[idx]
             outs.append(jnp.einsum("ncf,nc->nf", feats, w))
             jacs.append(jnp.einsum("ncf,ncd->nfd", feats, dw) * scale)
-        out = jnp.stack(outs, axis=1) * level_mask[None, :, None]
-        jac = jnp.stack(jacs, axis=1) * level_mask[None, :, None, None]
+        out = jnp.stack(outs, axis=1) * level_mask[None, :La, None]
+        jac = jnp.stack(jacs, axis=1) * level_mask[None, :La, None, None]
+        if La < L:
+            out = jnp.concatenate(
+                [out, jnp.zeros((n, L - La, F), out.dtype)], axis=1)
+            jac = jnp.concatenate(
+                [jac, jnp.zeros((n, L - La, F, 3), jac.dtype)], axis=1)
         return out.reshape(n, L * F), jac.reshape(n, L * F, 3)
 
     @jax.custom_vjp
@@ -273,7 +289,7 @@ def make_encode_with_jacobian_cv(static: HashGridStatic):
         # element than scattering (rows of F) on TPU, which dominates the
         # whole training step otherwise
         cols = [jnp.zeros((n_entries,), g_out.dtype) for _ in range(F)]
-        for lvl in range(L):
+        for lvl in range(La):
             idx, w, dw, scale = _level_indices_weights(positions, static,
                                                        lvl)
             flat_idx = idx.reshape(-1)

@@ -86,7 +86,18 @@ class Trainer:
     # jitted pieces
     # ------------------------------------------------------------------
 
-    def _make_step_fn(self, n_rays: int):
+    def _level_bucket(self) -> int:
+        """Smallest static level count covering the current unlock state
+        (one compile per bucket; the traced mask handles exactness within
+        a bucket)."""
+        L = self.cfg.grid.n_levels
+        active = self.cfg.grid.valid_levels(self.step)
+        for b in (max(L // 3, 1), max(2 * L // 3, 2), L):
+            if active <= b:
+                return b
+        return L
+
+    def _make_step_fn(self, n_rays: int, n_active: int):
         cfg = self.cfg
         field = self.field
         tx = self.tx
@@ -104,7 +115,7 @@ class Trainer:
 
             def loss_fn(p):
                 out = field.apply_chunked(p, pos, vl,
-                                          cfg.train.field_chunk)
+                                          cfg.train.field_chunk, n_active)
                 return training_loss(out, samples, batch, cfg.flags,
                                      cfg.loss, anneal)
 
@@ -177,12 +188,14 @@ class Trainer:
             self.occ = self._occ_update_fn(self.params, self.occ, k,
                                            jnp.int32(self.step))
         r = self._bucket()
-        if r not in self._compiled:
-            self._compiled[r] = self._make_step_fn(r)
+        lb = self._level_bucket()
+        if (r, lb) not in self._compiled:
+            self._compiled[(r, lb)] = self._make_step_fn(r, lb)
         self.key, k = jax.random.split(self.key)
-        self.params, self.opt_state, self.emap, metrics = self._compiled[r](
-            self.params, self.opt_state, self.emap, self.occ.bitfield, k,
-            jnp.int32(self.step))
+        self.params, self.opt_state, self.emap, metrics = \
+            self._compiled[(r, lb)](
+                self.params, self.opt_state, self.emap, self.occ.bitfield,
+                k, jnp.int32(self.step))
         self.step += 1
         self._emap_counter += 1
         if self._emap_counter >= self._emap_interval:
@@ -229,12 +242,14 @@ class Trainer:
                                            jnp.int32(self.step))
 
         r = self._bucket()
-        if r not in self._compiled:
-            self._compiled[r] = self._make_step_fn(r)
+        lb = self._level_bucket()
+        if (r, lb) not in self._compiled:
+            self._compiled[(r, lb)] = self._make_step_fn(r, lb)
         self.key, k = jax.random.split(self.key)
-        self.params, self.opt_state, self.emap, metrics = self._compiled[r](
-            self.params, self.opt_state, self.emap, self.occ.bitfield, k,
-            jnp.int32(self.step))
+        self.params, self.opt_state, self.emap, metrics = \
+            self._compiled[(r, lb)](
+                self.params, self.opt_state, self.emap, self.occ.bitfield,
+                k, jnp.int32(self.step))
         self.step += 1
 
         # error-map CDF rebuild cadence (testbed.cu:3670-3723)
