@@ -140,8 +140,10 @@ class Trainer:
 
         return step_fn
 
-    @functools.cached_property
-    def _occ_update_fn(self):
+    def _occ_update_fn(self, n_active: int):
+        key = ("occ", n_active)
+        if key in self._compiled:
+            return self._compiled[key]
         field = self.field
         decay = self.cfg.train.density_grid_decay
 
@@ -155,10 +157,11 @@ class Trainer:
             vl = valid_level_for_step(self.cfg.grid, step)
             pos = occupancy.cell_positions(key, gsize)
             dens = jax.lax.map(
-                lambda p: field.density(params, p, vl),
+                lambda p: field.density(params, p, vl, n_active),
                 pos.reshape(n_chunks, chunk, 3)).reshape(-1)
             return occupancy.update(occ_state, dens, decay)
 
+        self._compiled[key] = occ_fn
         return occ_fn
 
     # ------------------------------------------------------------------
@@ -185,8 +188,8 @@ class Trainer:
         cadence = occupancy.update_cadence(self.step)
         if self.step % cadence == 0:
             self.key, k = jax.random.split(self.key)
-            self.occ = self._occ_update_fn(self.params, self.occ, k,
-                                           jnp.int32(self.step))
+            self.occ = self._occ_update_fn(self._level_bucket())(
+                self.params, self.occ, k, jnp.int32(self.step))
         r = self._bucket()
         lb = self._level_bucket()
         if (r, lb) not in self._compiled:
@@ -238,8 +241,8 @@ class Trainer:
         cadence = occupancy.update_cadence(self.step)
         if self.step % cadence == 0:
             self.key, k = jax.random.split(self.key)
-            self.occ = self._occ_update_fn(self.params, self.occ, k,
-                                           jnp.int32(self.step))
+            self.occ = self._occ_update_fn(self._level_bucket())(
+                self.params, self.occ, k, jnp.int32(self.step))
 
         r = self._bucket()
         lb = self._level_bucket()
