@@ -11,9 +11,9 @@ orchestration (src/testbed.cu:2776-2870, src/testbed_nerf.cu:3560-4123):
 - progressive hash-level unlocking by passing the step into the encoding
   (testbed.cu:2788-2793);
 - adaptive rays/batch: the reference rescales rays_per_batch to hit the
-  2^18-sample budget (testbed_nerf.cu:3554-3555); we bucket (R, M) pairs to
-  powers of two with R·M = budget to bound recompiles (one compile per
-  bucket, cached).
+  2^18-sample budget (testbed_nerf.cu:3554-3555); we bucket R to powers of
+  two (the flat sample buffer S stays fixed) and additionally bucket the
+  static active-level count, one cached compile per (R, levels) pair.
 """
 
 from __future__ import annotations
