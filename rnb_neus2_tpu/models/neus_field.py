@@ -139,7 +139,8 @@ class NeusField:
                                  n_active)[:, 0] + self.net.sdf_bias
 
     def sdf_and_grad(self, params, x: jnp.ndarray, valid_level=None,
-                     n_active: int | None = None):
+                     n_active: int | None = None,
+                     differentiable_positions: bool = False):
         """sdf, analytic ∇sdf, and the 16-wide SDF features — all from ONE
         hash gather, all differentiable wrt params.
 
@@ -154,9 +155,17 @@ class NeusField:
         # custom-VJP encode: row-gather forward, per-feature WIDTH-1
         # scatters in the backward (~8× faster per element than XLA's
         # row-scatter transpose, which otherwise dominates the step);
-        # n_active statically skips progressively-locked levels
-        enc, jac = self._encode_jac(params["hash_table"], x, valid_level,
-                                    n_active)
+        # n_active statically skips progressively-locked levels.
+        # differentiable_positions routes through the generic (autodiff)
+        # encode so gradients flow into x — needed when rays themselves
+        # are trainable (global-movement / camera refinement); the custom
+        # VJP zeroes the position cotangent for speed.
+        if differentiable_positions:
+            enc, jac = hash_encoding.encode_with_jacobian(
+                params["hash_table"], x, self.static, valid_level)
+        else:
+            enc, jac = self._encode_jac(params["hash_table"], x,
+                                        valid_level, n_active)
         w_x, w_enc = params["sdf_mlp"][0]
         pre = (x - 0.5) @ w_x.T + enc @ w_enc.T
         h = jax.nn.relu(pre)
@@ -180,7 +189,9 @@ class NeusField:
     # -- full field ---------------------------------------------------------
 
     def apply(self, params, x: jnp.ndarray, valid_level=None,
-              n_active: int | None = None) -> Dict[str, jnp.ndarray]:
+              n_active: int | None = None,
+              differentiable_positions: bool = False
+              ) -> Dict[str, jnp.ndarray]:
         """Full forward: albedo_raw, sdf, grad, variance.
 
         Mirrors the 16-wide packed output of nerf_network.h:225-250:
@@ -188,7 +199,8 @@ class NeusField:
         — returned here as a dict (viewdir passthrough is left to callers).
         """
         sdf, grad, feats = self.sdf_and_grad(params, x, valid_level,
-                                             n_active)
+                                             n_active,
+                                             differentiable_positions)
         # RGB first layer as split matmuls over the input blocks
         # [feat(16) | dir-encoding(16, never computed → zeros) | xyz | ∇sdf]
         # — identical to the reference's packed 48-wide input, minus the

@@ -31,12 +31,15 @@ from ..render.losses import RayBatch
 
 def sample_ray_batch(dataset: TrainingDataset, bitfield: jnp.ndarray,
                      key: jax.Array, n_rays: int, n_slots: int,
-                     march_cfg: MarchConfig, emap_state=None):
+                     march_cfg: MarchConfig, emap_state=None,
+                     ray_transform=None):
     """Returns (RayBatch, FlatSamples, positions (S, 3), (img, xy)).
 
     With emap_state, pixels are drawn from the error-map CDFs (importance
     sampling, on by default in the reference); otherwise stratified images
-    + uniform pixels.
+    + uniform pixels. ray_transform (o, d) → (o, d) maps rays into the
+    canonical frame BEFORE marching (global movement,
+    testbed_nerf.cu:1311-1323).
     """
     W, H = dataset.resolution
     n_img = dataset.n_images
@@ -69,6 +72,8 @@ def sample_ray_batch(dataset: TrainingDataset, bitfield: jnp.ndarray,
     alive = ~(skip_cand & (u_skip >= 0.9))
 
     ray_o, ray_d = rays_from_pixels(dataset.cameras, img, xy)
+    if ray_transform is not None:
+        ray_o, ray_d = ray_transform(ray_o, ray_d)
     u_start = jax.random.uniform(k_start, (n_rays,))
     samples = ray_march.march_flat(ray_o, ray_d, bitfield, u_start,
                                    march_cfg.n_ladder, n_slots,
