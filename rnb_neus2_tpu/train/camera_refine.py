@@ -70,8 +70,6 @@ def exposure_adjust(params: CameraRefineParams, img: jnp.ndarray,
                     decoded: jnp.ndarray) -> jnp.ndarray:
     """Apply 2^exposure in linear space to pre-decoded values
     (exposure_scale = exp(ln2·e), testbed_nerf.cu:1504)."""
-    from ..render.losses import _guarded_sqrt  # noqa: F401 (module load)
-
     scale = jnp.exp2(params.exposure[img])             # (R,3)
     lin = jnp.where(decoded <= 0.04045, decoded / 12.92,
                     ((decoded + 0.055) / 1.055) ** 2.4)
