@@ -146,8 +146,16 @@ def run(args) -> int:
                     f"({len(m['V'])} verts, {len(m['F'])} faces)")
 
     while trainer.step < args.maxiter:
-        trainer.train_step()
-        if trainer.step % 100 == 0:
+        # advance to the next log/mesh boundary without per-step host
+        # syncs (device-queue pipelining; see Trainer.train_step_async)
+        boundaries = [args.maxiter,
+                      (trainer.step // 100 + 1) * 100]
+        if args.save_each:
+            boundaries.append(
+                (trainer.step // args.save_each + 1) * args.save_each)
+        target = min(boundaries)
+        trainer.train_steps(target - trainer.step, sync_every=25)
+        if trainer.step % 100 == 0 or trainer.step >= args.maxiter:
             logger.info(f"iteration={trainer.step} "
                         f"loss={trainer.loss_ema.value:.6f}")
         if args.save_each and trainer.step % args.save_each == 0 \
