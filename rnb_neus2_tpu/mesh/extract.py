@@ -71,22 +71,27 @@ def extract_mesh(field, params, resolution: int = 512,
     bmin = np.abs(cblk).min(axis=(1, 3, 5))
     active = np.argwhere(bmin < slack)                     # (B, 3)
 
-    # ---- fine pass per active block (with +1 ring for seams) -------------
+    # ---- fine pass: ALL active blocks' sample points in one batched
+    # evaluation (per-block device calls would pad each 17³ block to the
+    # inference chunk and round-trip the host per block)
     verts_all, faces_all = [], []
     ax_local = np.arange(block + 1)
-    for bx, by, bz in active:
-        i0 = np.array([bx, by, bz]) * block
-        idx = i0[None, :] + np.stack(np.meshgrid(
-            ax_local, ax_local, ax_local, indexing="ij"), -1).reshape(-1, 3)
+    local = np.stack(np.meshgrid(ax_local, ax_local, ax_local,
+                                 indexing="ij"), -1).reshape(-1, 3)
+    bpts = block + 1
+    if len(active):
+        i0s = active * block                                   # (B, 3)
+        idx = (i0s[:, None, :] + local[None, :, :]).reshape(-1, 3)
         pts = lo + idx.astype(np.float32) * spacing
         np.clip(pts, lo, hi, out=pts)
-        vol = _sdf_volume(field, params, pts).reshape(
-            block + 1, block + 1, block + 1)
-        origin = lo + i0.astype(np.float64) * spacing
-        v, f = marching.marching_tets(vol, origin, spacing, thresh)
-        if len(v):
-            faces_all.append(f + sum(len(x) for x in verts_all))
-            verts_all.append(v)
+        vols = _sdf_volume(field, params, pts).reshape(
+            len(active), bpts, bpts, bpts)
+        for vol, i0 in zip(vols, i0s):
+            origin = lo + i0.astype(np.float64) * spacing
+            v, f = marching.marching_tets(vol, origin, spacing, thresh)
+            if len(v):
+                faces_all.append(f + sum(len(x) for x in verts_all))
+                verts_all.append(v)
 
     if not verts_all:
         return {"V": np.zeros((0, 3), np.float32),
