@@ -53,6 +53,9 @@ class Testbed:
         self._dataset = None
         self.shall_train = True
         self.background_color = (1.0, 1.0, 1.0, 1.0)
+        # optional lat-long RGBA background texture (render/envmap.py,
+        # reference envmap.cuh); None = constant background_color
+        self.envmap = None
 
     # -- data ----------------------------------------------------------------
 
@@ -121,7 +124,8 @@ class Testbed:
                           self._dataset.cameras, view_idx,
                           self._trainer.occ.bitfield,
                           self.cfg.march, max_samples=max_samples,
-                          background=self.background_color[:3])
+                          background=self.background_color[:3],
+                          envmap=self.envmap)
         return np.concatenate([out["albedo"], out["alpha"][..., None]],
                               axis=-1)
 

@@ -28,13 +28,16 @@ from ..config import MarchConfig
 from ..geom.camera import Cameras, rays_from_pixels
 from ..ops import ray_march
 from . import losses, neus
+from .envmap import background_color
 
 
 def render_view(field, params, cams: Cameras, view_idx: int,
                 bitfield: jnp.ndarray,
                 march_cfg: Optional[MarchConfig] = None,
                 max_samples: int = 256, tile: int = 4096,
-                background=(1.0, 1.0, 1.0)) -> Dict[str, np.ndarray]:
+                background=(1.0, 1.0, 1.0),
+                envmap: Optional[jnp.ndarray] = None
+                ) -> Dict[str, np.ndarray]:
     """Render one view → {"albedo" (H,W,3), "depth", "alpha", "normal"}."""
     march_cfg = march_cfg or MarchConfig()
     W, H = cams.resolution
@@ -68,7 +71,8 @@ def render_view(field, params, cams: Cameras, view_idx: int,
         nrm = jnp.sum(w[..., None] * grad, axis=1)
         nrm = nrm / jnp.maximum(
             jnp.linalg.norm(nrm, axis=-1, keepdims=True), 1e-9)
-        color = color + (1.0 - asum[:, None]) * jnp.asarray(background)
+        bg = background_color(envmap, d, background)   # envmap.cuh read path
+        color = color + (1.0 - asum[:, None]) * bg
         return color, depth, asum, nrm
 
     cols, deps, alps, nrms = [], [], [], []
