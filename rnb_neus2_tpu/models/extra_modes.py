@@ -137,16 +137,36 @@ class ImageField:
 
 class SdfField:
     """Mesh-SDF fitting (testbed_sdf.cu): GT distances from the native BVH
-    (closest point + parity sign), surface-biased sampling, IoU eval."""
+    (closest point + parity sign), surface-biased sampling, IoU eval.
+
+    encoding: "hash" (default; the full NeuS hash-grid field) or
+    "takikawa" — the octree feature encoding the reference selects via
+    the SDF config's Takikawa otype (testbed.cu:2423,2654; see
+    ops/takikawa.py), followed by a small MLP.
+    """
 
     def __init__(self, grid: HashGridConfig | None = None,
-                 net: NetworkConfig | None = None):
+                 net: NetworkConfig | None = None,
+                 encoding: str = "hash", octree_depth: int = 7,
+                 octree_starting_level: int = 3):
         from .neus_field import NeusField, init_params
 
+        self.encoding = encoding
         self.grid = grid or HashGridConfig(n_levels=8, top_resolution=256)
         self.net = net or NetworkConfig()
         self.field = NeusField(self.grid, self.net)
         self._init_params = init_params
+        self.octree_depth = octree_depth
+        self.octree_starting_level = octree_starting_level
+        self.octree = None
+
+    def _sdf(self, params, pts):
+        if self.encoding == "takikawa":
+            from ..ops import takikawa
+            from ..ops.mlp import apply_mlp
+            enc = takikawa.encode(params["table"], pts, self.octree)
+            return apply_mlp(params["mlp"], enc)[:, 0]
+        return self.field.sdf(params, pts)
 
     def fit(self, vertices, faces, n_steps=400, batch=1 << 13, lr=1e-3,
             seed=0, surface_frac=0.5):
@@ -154,8 +174,23 @@ class SdfField:
 
         caster = RayCaster(vertices, faces)
         rng = np.random.default_rng(seed)
-        params = self._init_params(jax.random.PRNGKey(seed), self.grid,
-                                   self.net)
+        if self.encoding == "takikawa":
+            from ..ops import takikawa
+            from ..ops.mlp import xavier_uniform
+            self.octree = takikawa.build_triangle_octree(
+                vertices, faces, self.octree_depth,
+                self.octree_starting_level)
+            ks = jax.random.split(jax.random.PRNGKey(seed), 4)
+            n_in = self.octree.n_output_dims
+            params = {
+                "table": takikawa.init_takikawa_params(ks[0], self.octree),
+                "mlp": [xavier_uniform(ks[1], 64, n_in),
+                        xavier_uniform(ks[2], 64, 64),
+                        xavier_uniform(ks[3], 1, 64)],
+            }
+        else:
+            params = self._init_params(jax.random.PRNGKey(seed), self.grid,
+                                       self.net)
         tx = optax.adam(lr, b1=0.9, b2=0.99, eps=1e-15)
         state = tx.init(params)
 
@@ -178,7 +213,7 @@ class SdfField:
         @jax.jit
         def step(p, s, pts, target):
             def loss(pp):
-                pred = self.field.sdf(pp, pts)
+                pred = self._sdf(pp, pts)
                 return jnp.mean((pred - target) ** 2)
 
             l, g = jax.value_and_grad(loss)(p)
@@ -197,7 +232,7 @@ class SdfField:
         """Volumetric IoU vs the GT mesh (Testbed::calculate_iou)."""
         rng = np.random.default_rng(seed)
         pts = rng.random((n_samples, 3)).astype(np.float32)
-        pred = np.asarray(self.field.sdf(self.params, jnp.asarray(pts))) < 0
+        pred = np.asarray(self._sdf(self.params, jnp.asarray(pts))) < 0
         gt = self.caster.signed_distance(pts) < 0
         return float((pred & gt).sum()) / max(float((pred | gt).sum()), 1.0)
 

@@ -56,6 +56,26 @@ def init_table(key: jax.Array, cfg: HashGridConfig,
         dtype=dtype, minval=-1e-4, maxval=1e-4)
 
 
+def level_tables(table: jnp.ndarray, static: "HashGridStatic",
+                 n_levels: int | None = None):
+    """Slice the concatenated table into per-level buffers.
+
+    Perf-critical on TPU: gathers/scatters into the monolithic
+    ~5.3M-row table run at ~9 ns/element (destination too large to stay
+    cache-resident), while the same ops against a ≤2^19-row per-level
+    buffer run ~60× faster (measured on v5e; see DESIGN.md kernel-war
+    notes). The optimization_barrier pins the slices as real buffers so
+    XLA cannot fuse them back into big-table gathers.
+    """
+    L = n_levels if n_levels is not None else static.cfg.n_levels
+    outs = []
+    for lvl in range(L):
+        off = int(static.offsets[lvl])
+        size = int(static.table_sizes[lvl])
+        outs.append(jax.lax.slice_in_dim(table, off, off + size, axis=0))
+    return jax.lax.optimization_barrier(tuple(outs))
+
+
 def _corner_indices(pos_grid: jnp.ndarray, res: jnp.ndarray,
                     table_size: jnp.ndarray, hashed: jnp.ndarray) -> jnp.ndarray:
     """Table index for integer lattice corners.
@@ -102,23 +122,23 @@ def encode(table: jnp.ndarray, positions: jnp.ndarray,
     n = positions.shape[0]
     corners = jnp.asarray(_CORNERS)                        # (8, 3)
 
-    # statically unrolled per-level loop: 14 small gathers instead of one
-    # (N, L, 8) mega-gather — smaller live intermediates, and each level's
-    # gather/scatter-add keeps a simple shape the TPU compiler handles well
+    # statically unrolled per-level loop gathering from PER-LEVEL table
+    # slices (≤2^19 rows each): gathers against the monolithic table run
+    # ~60× slower per index on TPU (cache-size cliff; see level_tables)
+    tables = level_tables(table, static, La)
     outs = []
     for lvl in range(La):
         scale = float(static.scales[lvl])
         res = jnp.int32(int(static.resolutions[lvl]))
         tsize = jnp.int32(int(static.table_sizes[lvl]))
-        off = int(static.offsets[lvl])
         hashed = jnp.int32(int(static.hashed[lvl]))
 
         p = positions * scale + 0.5
         p0 = jnp.floor(p)
         frac = p - p0
         cpos = p0.astype(jnp.int32)[:, None, :] + corners[None, :, :]  # (N,8,3)
-        idx = _corner_indices(cpos, res, tsize, hashed) + off          # (N,8)
-        feats = table[idx]                                 # (N, 8, F)
+        idx = _corner_indices(cpos, res, tsize, hashed)                # (N,8)
+        feats = tables[lvl][idx]                           # (N, 8, F)
         w = jnp.prod(jnp.where(corners[None, :, :] > 0, frac[:, None, :],
                                1.0 - frac[:, None, :]), axis=-1)       # (N,8)
         outs.append(jnp.sum(feats * w[..., None], axis=1))  # (N, F)
@@ -145,7 +165,11 @@ def _level_constants(static: HashGridStatic, lvl: int):
 
 
 def _level_indices_weights(positions, static: HashGridStatic, lvl: int):
-    """(idx (N,8), w (N,8), dw (N,8,3), scale) for one level."""
+    """(LOCAL idx (N,8), w (N,8), dw (N,8,3), scale) for one level.
+
+    Indices are level-local (no table offset): all gathers/scatters run
+    against the per-level slices from level_tables() — see its docstring
+    for why (the monolithic-table cache cliff)."""
     scale, res, tsize, off, hashed = _level_constants(static, lvl)
     corners = jnp.asarray(_CORNERS)
     corn = corners[None, :, :]
@@ -153,7 +177,7 @@ def _level_indices_weights(positions, static: HashGridStatic, lvl: int):
     p0 = jnp.floor(p)
     frac = p - p0
     cpos = p0.astype(jnp.int32)[:, None, :] + corners[None, :, :]
-    idx = _corner_indices(cpos, res, tsize, hashed) + off
+    idx = _corner_indices(cpos, res, tsize, hashed)
     wd = jnp.where(corn > 0, frac[:, None, :], 1.0 - frac[:, None, :])
     sd = jnp.where(corn > 0, 1.0, -1.0)
     w = wd[..., 0] * wd[..., 1] * wd[..., 2]
@@ -186,20 +210,20 @@ def encode_with_jacobian(table: jnp.ndarray, positions: jnp.ndarray,
     corners = jnp.asarray(_CORNERS)                        # (8, 3)
     corn = corners[None, :, :]                             # (1, 8, 3)
 
+    tables = level_tables(table, static, L)
     outs, jacs = [], []
     for lvl in range(L):
         scale = float(static.scales[lvl])
         res = jnp.int32(int(static.resolutions[lvl]))
         tsize = jnp.int32(int(static.table_sizes[lvl]))
-        off = int(static.offsets[lvl])
         hashed = jnp.int32(int(static.hashed[lvl]))
 
         p = positions * scale + 0.5
         p0 = jnp.floor(p)
         frac = p - p0                                      # (N, 3)
         cpos = p0.astype(jnp.int32)[:, None, :] + corners[None, :, :]
-        idx = _corner_indices(cpos, res, tsize, hashed) + off
-        feats = table[idx]                                 # (N, 8, F)
+        idx = _corner_indices(cpos, res, tsize, hashed)
+        feats = tables[lvl][idx]                           # (N, 8, F)
 
         # per-corner weight and its gradient wrt frac
         wd = jnp.where(corn > 0, frac[:, None, :], 1.0 - frac[:, None, :])
@@ -252,11 +276,12 @@ def make_encode_with_jacobian_cv(static: HashGridStatic,
 
     def fwd_math(table, positions, level_mask):
         n = positions.shape[0]
+        tables = level_tables(table, static, La)
         outs, jacs = [], []
         for lvl in range(La):
             idx, w, dw, scale = _level_indices_weights(positions, static,
                                                        lvl)
-            feats = table[idx]
+            feats = tables[lvl][idx]
             outs.append(jnp.einsum("ncf,nc->nf", feats, w))
             jacs.append(jnp.einsum("ncf,ncd->nfd", feats, dw) * scale)
         out = jnp.stack(outs, axis=1) * level_mask[None, :La, None]
@@ -285,20 +310,29 @@ def make_encode_with_jacobian_cv(static: HashGridStatic,
         n = g_out.shape[0]
         g_out = g_out.reshape(n, L, F) * level_mask[None, :, None]
         g_jac = g_jac.reshape(n, L, F, 3) * level_mask[None, :, None, None]
-        # one WIDTH-1 scatter per feature column: measured ~8× faster per
-        # element than scattering (rows of F) on TPU, which dominates the
-        # whole training step otherwise
-        cols = [jnp.zeros((n_entries,), g_out.dtype) for _ in range(F)]
+        # scatter-adds go into PER-LEVEL buffers (≤2^19 rows, so the
+        # destination stays cache-resident — into the 5.3M-row table the
+        # same scatters ran ~60× slower and were >half the train step),
+        # one WIDTH-1 scatter per feature column (row-of-F scatters are
+        # a further ~8× slower per element); the per-level grads then
+        # concatenate into the (n_entries, F) cotangent.
+        pieces = []
         for lvl in range(La):
             idx, w, dw, scale = _level_indices_weights(positions, static,
                                                        lvl)
             flat_idx = idx.reshape(-1)
+            size = int(static.table_sizes[lvl])
             cf = (w[:, :, None] * g_out[:, lvl][:, None, :]
                   + scale * jnp.einsum("ncd,nfd->ncf", dw, g_jac[:, lvl]))
-            for f in range(F):
-                cols[f] = cols[f].at[flat_idx].add(
-                    cf[:, :, f].reshape(-1), mode="drop")
-        g_table = jnp.stack(cols, axis=1)
+            cols = [jnp.zeros((size,), g_out.dtype)
+                    .at[flat_idx].add(cf[:, :, f].reshape(-1), mode="drop")
+                    for f in range(F)]
+            pieces.append(jnp.stack(cols, axis=1))
+        tail = n_entries - int(static.offsets[La - 1]) \
+            - int(static.table_sizes[La - 1])
+        if tail:
+            pieces.append(jnp.zeros((tail, F), g_out.dtype))
+        g_table = jnp.concatenate(pieces, axis=0)
         return (g_table, jnp.zeros((n, 3), g_out.dtype),
                 jnp.zeros_like(level_mask))
 
