@@ -31,16 +31,56 @@ from . import losses, neus
 from .envmap import background_color
 
 
+def _upsample(img: np.ndarray, W: int, H: int) -> np.ndarray:
+    """Bilinear upsample (H', W'[, C]) → (H, W[, C])."""
+    h, w = img.shape[:2]
+    ys = (np.arange(H) + 0.5) * h / H - 0.5
+    xs = (np.arange(W) + 0.5) * w / W - 0.5
+    y0 = np.clip(np.floor(ys).astype(int), 0, h - 1)
+    x0 = np.clip(np.floor(xs).astype(int), 0, w - 1)
+    y1 = np.clip(y0 + 1, 0, h - 1)
+    x1 = np.clip(x0 + 1, 0, w - 1)
+    fy = np.clip(ys - y0, 0.0, 1.0)[:, None]
+    fx = np.clip(xs - x0, 0.0, 1.0)[None, :]
+    if img.ndim == 3:
+        fy = fy[..., None]
+        fx = fx[..., None]
+    a = img[np.ix_(y0, x0)]
+    b = img[np.ix_(y0, x1)]
+    c = img[np.ix_(y1, x0)]
+    d = img[np.ix_(y1, x1)]
+    return ((1 - fy) * ((1 - fx) * a + fx * b)
+            + fy * ((1 - fx) * c + fx * d)).astype(img.dtype)
+
+
 def render_view(field, params, cams: Cameras, view_idx: int,
                 bitfield: jnp.ndarray,
                 march_cfg: Optional[MarchConfig] = None,
                 max_samples: int = 256, tile: int = 4096,
                 background=(1.0, 1.0, 1.0),
-                envmap: Optional[jnp.ndarray] = None
+                envmap: Optional[jnp.ndarray] = None,
+                render_scale: float = 1.0
                 ) -> Dict[str, np.ndarray]:
-    """Render one view → {"albedo" (H,W,3), "depth", "alpha", "normal"}."""
+    """Render one view → {"albedo" (H,W,3), "depth", "alpha", "normal"}.
+
+    render_scale < 1 renders at a reduced internal resolution and
+    upsamples bilinearly to the output size — the headless counterpart of
+    the reference's DLSS render-scale path (src/dlss.cu; the NGX upscaler
+    itself is a GUI-only NVIDIA binary, the capability here is the same
+    render-small/display-big control).
+    """
     march_cfg = march_cfg or MarchConfig()
     W, H = cams.resolution
+    if render_scale != 1.0:
+        W_out, H_out = W, H
+        W = max(int(round(W * render_scale)), 1)
+        H = max(int(round(H * render_scale)), 1)
+        # scale focal to preserve the field of view at the reduced raster
+        cams = cams._replace(focal=cams.focal * render_scale,
+                             resolution=(W, H))
+        out = render_view(field, params, cams, view_idx, bitfield,
+                          march_cfg, max_samples, tile, background, envmap)
+        return {k: _upsample(v, W_out, H_out) for k, v in out.items()}
     n = W * H
     ys, xs = np.mgrid[0:H, 0:W]
     xy = np.stack([(xs.ravel() + 0.5) / W, (ys.ravel() + 0.5) / H], axis=1)

@@ -171,3 +171,37 @@ def test_background_color_constant_fallback():
     bg = background_color(None, dirs, (0.25, 0.5, 0.75))
     np.testing.assert_allclose(np.asarray(bg),
                                [[0.25, 0.5, 0.75]] * 2, atol=1e-7)
+
+
+# ------------------------------------------------------- render scaling
+
+def test_render_scale_upsamples_to_full_resolution():
+    """DLSS-analog path: render at 0.5 internal scale, output full size,
+    image content consistent with the native render."""
+    from rnb_neus2_tpu.config import (HashGridConfig, MarchConfig,
+                                      TestbedConfig, TrainConfig)
+    from rnb_neus2_tpu.render.renderer import render_view
+    from rnb_neus2_tpu.testing.synthetic import sphere_dataset
+    from rnb_neus2_tpu.train.trainer import Trainer
+
+    cfg = TestbedConfig(
+        grid=HashGridConfig(n_levels=3, top_resolution=32),
+        train=TrainConfig(target_batch_size=1 << 10,
+                          initial_rays_per_batch=64, occ_grid_size=16),
+        march=MarchConfig(n_ladder=64))
+    ds = sphere_dataset(n_views=3, width=24, height=24, radius=0.3)
+    tr = Trainer(ds, cfg)
+    for _ in range(10):
+        tr.train_step()
+
+    full = render_view(tr.field, tr.inference_params, ds.cameras, 0,
+                       tr.occ.bitfield, cfg.march, max_samples=48)
+    half = render_view(tr.field, tr.inference_params, ds.cameras, 0,
+                       tr.occ.bitfield, cfg.march, max_samples=48,
+                       render_scale=0.5)
+    assert half["albedo"].shape == full["albedo"].shape == (24, 24, 3)
+    assert half["alpha"].shape == (24, 24)
+    # coverage agrees within a coarse tolerance (half-res then upsample)
+    cov_f = float(full["alpha"].mean())
+    cov_h = float(half["alpha"].mean())
+    assert abs(cov_f - cov_h) < 0.12, (cov_f, cov_h)
