@@ -38,7 +38,9 @@ def main():
     # amortized cost (early steps refresh every step and would dominate a
     # short measurement window)
     tr.step = 600
-    for _ in range(4):
+    # cross one occupancy refresh (every 16 steps) so the steady-state
+    # subsampled occ_fn compiles BEFORE the timed window
+    for _ in range(20):
         tr.train_step()
 
     n_steps = 32

@@ -71,6 +71,57 @@ def update(state: OccupancyState, densities: jnp.ndarray,
                           mean_density=mean, ema_step=state.ema_step + 1)
 
 
+def sample_update_cells(key: jax.Array, state: OccupancyState,
+                        grid_size: int, n_uniform: int, n_nonuniform: int,
+                        thresh: float = NERF_MIN_OPTICAL_THICKNESS):
+    """Steady-state subsampled refresh cells (reference
+    generate_grid_samples_nerf_nonuniform, testbed_nerf.cu:585-614):
+
+    - n_uniform samples with threshold −0.01 (only skips cells explicitly
+      marked invalid by a negative density);
+    - n_nonuniform samples biased to occupied space: up to 10 candidate
+      cells from the prime-multiplier sequence, first with
+      density > thresh wins (:595-600);
+    - one uniformly jittered position inside each chosen cell.
+
+    Returns (positions (M, 3), cell_idx (M,)).
+    """
+    g = grid_size
+    n_cells = g ** 3
+    M = n_uniform + n_nonuniform
+    i = jnp.arange(M, dtype=jnp.uint32)
+    step = state.ema_step.astype(jnp.uint32)
+    j = jnp.arange(10, dtype=jnp.uint32)[None, :]
+    cand = (((i[:, None] + step * jnp.uint32(M)) * jnp.uint32(56924617)
+             + j * jnp.uint32(19349663) + jnp.uint32(96925573))
+            % jnp.uint32(n_cells)).astype(jnp.int32)        # (M, 10)
+    per_thresh = jnp.where(i < n_uniform, -0.01, thresh)[:, None]
+    ok = state.density[cand] > per_thresh                   # (M, 10)
+    # first passing candidate; if none pass, the reference keeps the
+    # 10th (loop falls through with the last idx)
+    first = jnp.argmax(ok, axis=1)
+    pick = jnp.where(jnp.any(ok, axis=1), first, 9)
+    idx = jnp.take_along_axis(cand, pick[:, None], axis=1)[:, 0]
+    x = idx % g
+    y = (idx // g) % g
+    z = idx // (g * g)
+    base = jnp.stack([x, y, z], axis=1).astype(jnp.float32)
+    jitter = jax.random.uniform(key, (M, 3))
+    return (base + jitter) / g, idx
+
+
+def update_sampled(state: OccupancyState, cell_idx: jnp.ndarray,
+                   densities: jnp.ndarray, decay: float = 0.95,
+                   thresh: float = NERF_MIN_OPTICAL_THICKNESS
+                   ) -> OccupancyState:
+    """Merge densities measured at a SUBSET of cells: sampled cells take
+    max(decay·prev, new) (max-splat over duplicates,
+    splat_grid_samples_nerf_max_nearest_neighbor :617-640); unsampled
+    cells decay (tmp = 0 in ema_grid_samples_nerf :655-686)."""
+    tmp = jnp.zeros_like(state.density).at[cell_idx].max(densities)
+    return update(state, tmp, decay, thresh)
+
+
 def lookup(bitfield: jnp.ndarray, pos: jnp.ndarray,
            grid_size: int = 0) -> jnp.ndarray:
     """Occupancy at positions (..., 3) in [0,1] (density_grid_occupied_at).

@@ -23,6 +23,8 @@ fast path; this jnp version is the semantic oracle and fallback.
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -30,6 +32,12 @@ import jax.numpy as jnp
 from ..config import HashGridConfig
 
 _PRIMES = (1, 2654435761, 805459861)
+
+# encode-backward scatter formulation (A/B-tested on v5e, see DESIGN.md):
+#   width1 — one width-1 scatter per feature column per level
+#   rows   — one (N·8, F) row scatter per level (measured 1.7× slower)
+#   sorted — argsort indices then indices_are_sorted segment_sum per level
+_SCATTER_MODE = os.environ.get("RNB_SCATTER_MODE", "width1")
 
 
 class HashGridStatic:
@@ -60,12 +68,12 @@ def level_tables(table: jnp.ndarray, static: "HashGridStatic",
                  n_levels: int | None = None):
     """Slice the concatenated table into per-level buffers.
 
-    Perf-critical on TPU: gathers/scatters into the monolithic
-    ~5.3M-row table run at ~9 ns/element (destination too large to stay
-    cache-resident), while the same ops against a ≤2^19-row per-level
-    buffer run ~60× faster (measured on v5e; see DESIGN.md kernel-war
-    notes). The optimization_barrier pins the slices as real buffers so
-    XLA cannot fuse them back into big-table gathers.
+    Trace-verified on v5e (DESIGN.md "Kernel war, continued"): per-level
+    gathers/scatters against ≤2^19-row slices shave ~15% off the train
+    step vs the monolithic ~5.3M-row table (the per-element scatter cost
+    itself is size-independent; the win is on the gather side and in
+    fusion quality). The optimization_barrier pins the slices as real
+    buffers so XLA cannot fold them back into big-table operand indexing.
     """
     L = n_levels if n_levels is not None else static.cfg.n_levels
     outs = []
@@ -123,8 +131,8 @@ def encode(table: jnp.ndarray, positions: jnp.ndarray,
     corners = jnp.asarray(_CORNERS)                        # (8, 3)
 
     # statically unrolled per-level loop gathering from PER-LEVEL table
-    # slices (≤2^19 rows each): gathers against the monolithic table run
-    # ~60× slower per index on TPU (cache-size cliff; see level_tables)
+    # slices (≤2^19 rows each) — measurably faster than indexing the
+    # monolithic table (see level_tables)
     tables = level_tables(table, static, La)
     outs = []
     for lvl in range(La):
@@ -324,10 +332,21 @@ def make_encode_with_jacobian_cv(static: HashGridStatic,
             size = int(static.table_sizes[lvl])
             cf = (w[:, :, None] * g_out[:, lvl][:, None, :]
                   + scale * jnp.einsum("ncd,nfd->ncf", dw, g_jac[:, lvl]))
-            cols = [jnp.zeros((size,), g_out.dtype)
-                    .at[flat_idx].add(cf[:, :, f].reshape(-1), mode="drop")
-                    for f in range(F)]
-            pieces.append(jnp.stack(cols, axis=1))
+            if _SCATTER_MODE == "rows":
+                pieces.append(jnp.zeros((size, F), g_out.dtype)
+                              .at[flat_idx].add(cf.reshape(-1, F),
+                                                mode="drop"))
+            elif _SCATTER_MODE == "sorted":
+                order = jnp.argsort(flat_idx)
+                pieces.append(jax.ops.segment_sum(
+                    cf.reshape(-1, F)[order], flat_idx[order],
+                    num_segments=size, indices_are_sorted=True))
+            else:
+                cols = [jnp.zeros((size,), g_out.dtype)
+                        .at[flat_idx].add(cf[:, :, f].reshape(-1),
+                                          mode="drop")
+                        for f in range(F)]
+                pieces.append(jnp.stack(cols, axis=1))
         tail = n_entries - int(static.offsets[La - 1]) \
             - int(static.table_sizes[La - 1])
         if tail:

@@ -131,18 +131,35 @@ def march_flat(ray_o: jnp.ndarray, ray_d: jnp.ndarray, bitfield: jnp.ndarray,
     write = valid & ray_kept[:, None]
     slot = jnp.where(write, slot, n_slots)                 # sentinel slot
 
-    def scat(src, fill, dtype=None):
-        buf = jnp.full((n_slots + 1,), fill,
-                       dtype or src.dtype)
-        return buf.at[slot.reshape(-1)].set(src.reshape(-1))[:n_slots]
+    # ONE (R·K)-element scatter builds the t buffer; everything else is
+    # derived (XLA TPU scatter costs ~8 ns per SOURCE element regardless
+    # of destination size — measured on v5e — so the naive four scatters
+    # of t/dt/ray_id/valid were ~4× this cost):
+    #   dt[s]     = clamp(t·cone) — the exact formula that produced dt;
+    #   valid[s]  = s < Σ kept counts (compaction is dense by construction);
+    #   ray_id[s] = forward-fill (cummax) of an R-element scatter of each
+    #               kept ray's id at its segment start.
+    t_flat = jnp.full((n_slots + 1,), 0.0, t.dtype) \
+        .at[slot.reshape(-1)].set(t.reshape(-1))[:n_slots]
+    dt_flat = jnp.clip(t_flat * cone_angle, MIN_CONE_STEPSIZE,
+                       MAX_CONE_STEPSIZE)
 
-    rid = jnp.broadcast_to(jnp.arange(R, dtype=jnp.int32)[:, None],
-                           slot.shape)
+    total = jnp.sum(counts)
+    slot_ids = jnp.arange(n_slots, dtype=jnp.int32)
+    valid_flat = slot_ids < total
+
+    ray_ids = jnp.arange(R, dtype=jnp.int32)
+    seg_write = ray_kept & (n_valid > 0)
+    starts = jnp.zeros((n_slots + 1,), jnp.int32) \
+        .at[jnp.where(seg_write, offsets, n_slots)].max(ray_ids)[:n_slots]
+    rid_flat = jnp.where(valid_flat, jax.lax.cummax(starts),
+                         jnp.int32(R))
+
     return FlatSamples(
-        t=scat(t, 0.0),
-        dt=scat(dt, MIN_CONE_STEPSIZE),
-        ray_id=scat(rid, R),
-        valid=scat(write, False),
+        t=t_flat,
+        dt=dt_flat,
+        ray_id=rid_flat,
+        valid=valid_flat,
         seg_start=offsets.astype(jnp.int32),
         n_valid=n_valid,
         ray_kept=ray_kept,

@@ -140,8 +140,12 @@ class Trainer:
 
         return step_fn
 
-    def _occ_update_fn(self, n_active: int):
-        key = ("occ", n_active)
+    def _occ_update_fn(self, n_active: int, subsampled: bool = False):
+        """Full sweep before step 256; after that the reference evaluates
+        only G³/4 uniform + G³/4 occupancy-biased cells per refresh
+        (training_prep_nerf, testbed_nerf.cu:4131-4137) — half the field
+        evaluations, so we do the same."""
+        key = ("occ", n_active, subsampled)
         if key in self._compiled:
             return self._compiled[key]
         field = self.field
@@ -149,16 +153,24 @@ class Trainer:
 
         gsize = self.cfg.train.occ_grid_size
         n_cells = gsize ** 3
-        chunk = min(n_cells, 1 << 17)   # bound the encoding's index blowup
-        n_chunks = -(-n_cells // chunk)
+        n_quarter = max(n_cells // 4, 1)
+        M = n_cells // 2 if subsampled else n_cells
+        chunk = min(M, 1 << 17)         # bound the encoding's index blowup
+        n_chunks = -(-M // chunk)
 
         @jax.jit
         def occ_fn(params, occ_state, key, step):
             vl = valid_level_for_step(self.cfg.grid, step)
-            pos = occupancy.cell_positions(key, gsize)
+            if subsampled:
+                pos, idx = occupancy.sample_update_cells(
+                    key, occ_state, gsize, n_quarter, n_quarter)
+            else:
+                pos = occupancy.cell_positions(key, gsize)
             dens = jax.lax.map(
                 lambda p: field.density(params, p, vl, n_active),
                 pos.reshape(n_chunks, chunk, 3)).reshape(-1)
+            if subsampled:
+                return occupancy.update_sampled(occ_state, idx, dens, decay)
             return occupancy.update(occ_state, dens, decay)
 
         self._compiled[key] = occ_fn
@@ -188,7 +200,8 @@ class Trainer:
         cadence = occupancy.update_cadence(self.step)
         if self.step % cadence == 0:
             self.key, k = jax.random.split(self.key)
-            self.occ = self._occ_update_fn(self._level_bucket())(
+            self.occ = self._occ_update_fn(self._level_bucket(),
+                                           subsampled=self.step >= 256)(
                 self.params, self.occ, k, jnp.int32(self.step))
         r = self._bucket()
         lb = self._level_bucket()
@@ -241,7 +254,8 @@ class Trainer:
         cadence = occupancy.update_cadence(self.step)
         if self.step % cadence == 0:
             self.key, k = jax.random.split(self.key)
-            self.occ = self._occ_update_fn(self._level_bucket())(
+            self.occ = self._occ_update_fn(self._level_bucket(),
+                                           subsampled=self.step >= 256)(
                 self.params, self.occ, k, jnp.int32(self.step))
 
         r = self._bucket()

@@ -1,0 +1,134 @@
+"""march_flat: derived dt/valid/ray_id fields equal the directly
+scattered ones (the single-scatter compaction rewrite)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from rnb_neus2_tpu.config import MIN_CONE_STEPSIZE, MAX_CONE_STEPSIZE
+from rnb_neus2_tpu.ops import ray_march
+
+
+def _reference_flat(ray_o, ray_d, bitfield, u_start, n_ladder, n_slots,
+                    cone_angle):
+    """Direct NumPy restatement of the compaction contract."""
+    t, dt, valid, n_valid = ray_march._ladder_valid(
+        ray_o, ray_d, bitfield, u_start, n_ladder, cone_angle)
+    t, dt, valid, n_valid = map(np.asarray, (t, dt, valid, n_valid))
+    R = ray_o.shape[0]
+    out_t = np.zeros(n_slots, np.float32)
+    out_dt = np.full(n_slots, MIN_CONE_STEPSIZE, np.float32)
+    out_rid = np.full(n_slots, R, np.int32)
+    out_valid = np.zeros(n_slots, bool)
+    s = 0
+    kept = np.zeros(R, bool)
+    reserved = 0   # the reference's atomicAdd counter advances even for
+    for r in range(R):   # dropped rays (testbed_nerf.cu:1352-1356)
+        reserved += int(n_valid[r])
+        if reserved > n_slots:
+            continue  # whole-ray drop; counter stays advanced
+        kept[r] = True
+        for k in range(t.shape[1]):
+            if valid[r, k]:
+                out_t[s] = t[r, k]
+                out_dt[s] = dt[r, k]
+                out_rid[s] = r
+                out_valid[s] = True
+                s += 1
+    return out_t, out_dt, out_rid, out_valid, kept
+
+
+@pytest.mark.parametrize("cone_angle", [0.0, 1.0 / 256])
+@pytest.mark.parametrize("seed", [0, 3])
+def test_flat_fields_match_reference_compaction(cone_angle, seed):
+    rng = np.random.default_rng(seed)
+    R, K, n_slots = 64, 128, 512
+    g = 16
+    # random blocky occupancy so rays cross occupied and empty space
+    bit = jnp.asarray(rng.random(g ** 3) < 0.3)
+    o = rng.uniform(0.1, 0.9, (R, 3)).astype(np.float32)
+    d = rng.normal(size=(R, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    u = rng.random(R).astype(np.float32)
+
+    fs = ray_march.march_flat(jnp.asarray(o), jnp.asarray(d), bit,
+                              jnp.asarray(u), K, n_slots, cone_angle)
+    rt, rdt, rrid, rvalid, rkept = _reference_flat(
+        jnp.asarray(o), jnp.asarray(d), bit, jnp.asarray(u), K, n_slots,
+        cone_angle)
+
+    np.testing.assert_array_equal(np.asarray(fs.valid), rvalid)
+    np.testing.assert_array_equal(np.asarray(fs.ray_kept), rkept)
+    np.testing.assert_array_equal(np.asarray(fs.ray_id), rrid)
+    np.testing.assert_allclose(np.asarray(fs.t), rt, rtol=1e-6)
+    # derived dt must equal the ladder's dt wherever a sample exists
+    np.testing.assert_allclose(np.asarray(fs.dt)[rvalid], rdt[rvalid],
+                               rtol=1e-6)
+    assert np.asarray(fs.dt).min() >= MIN_CONE_STEPSIZE - 1e-9
+    assert np.asarray(fs.dt).max() <= MAX_CONE_STEPSIZE + 1e-9
+
+
+def test_flat_budget_overflow_drops_whole_rays():
+    rng = np.random.default_rng(1)
+    R, K, n_slots = 32, 64, 40   # tiny budget forces drops
+    g = 8
+    bit = jnp.ones((g ** 3,), bool)
+    o = rng.uniform(0.3, 0.7, (R, 3)).astype(np.float32)
+    d = rng.normal(size=(R, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    u = jnp.zeros((R,))
+    fs = ray_march.march_flat(jnp.asarray(o), jnp.asarray(d), bit, u,
+                              K, n_slots, 0.0)
+    kept = np.asarray(fs.ray_kept)
+    nv = np.asarray(fs.n_valid)
+    assert kept.sum() < R                     # something was dropped
+    assert nv[kept].sum() <= n_slots          # budget respected
+    rid = np.asarray(fs.ray_id)
+    valid = np.asarray(fs.valid)
+    assert valid.sum() == nv[kept].sum()
+    # every valid slot belongs to a kept ray, ids nondecreasing
+    assert np.all(kept[rid[valid]])
+    assert np.all(np.diff(rid[valid]) >= 0)
+
+
+# --------------------------------------------- subsampled occupancy refresh
+
+def test_occupancy_subsampled_update_decays_unsampled():
+    from rnb_neus2_tpu.grid import occupancy
+
+    st = occupancy.init_state(8)
+    n = 8 ** 3
+    st = occupancy.update(st, jnp.full((n,), 2.0), decay=0.95)
+    idx = jnp.asarray([0, 1, 1, 5])
+    dens = jnp.asarray([3.0, 0.5, 4.0, 1.0])
+    st2 = occupancy.update_sampled(st, idx, dens, decay=0.95)
+    d = np.asarray(st2.density)
+    assert d[0] == pytest.approx(3.0)          # new max wins
+    assert d[1] == pytest.approx(4.0)          # max over duplicate splats
+    assert d[5] == pytest.approx(2.0 * 0.95)   # decay beats 1.0
+    assert d[7] == pytest.approx(2.0 * 0.95)   # unsampled decays
+
+
+def test_occupancy_nonuniform_sampling_biases_to_occupied():
+    from rnb_neus2_tpu.grid import occupancy
+
+    g = 16
+    st = occupancy.init_state(g)
+    n = g ** 3
+    occupied = np.zeros(n, np.float32)
+    occupied[:n // 20] = 5.0                  # 5% of cells occupied
+    st = occupancy.update(st, jnp.asarray(occupied), decay=0.95)
+    nq = n // 4
+    pos, idx = occupancy.sample_update_cells(
+        jax.random.PRNGKey(0), st, g, nq, nq)
+    assert pos.shape == (2 * nq, 3) and idx.shape == (2 * nq,)
+    assert float(pos.min()) >= 0.0 and float(pos.max()) <= 1.0
+    d = np.asarray(st.density)
+    frac_uniform = (d[np.asarray(idx[:nq])] > 0.1).mean()
+    frac_biased = (d[np.asarray(idx[nq:])] > 0.1).mean()
+    # 10 tries at 5% occupancy → expected hit rate 1 − 0.95¹⁰ ≈ 0.40
+    # (the reference's rejection loop gives up after 10, :595-600)
+    expect = 1.0 - 0.95 ** 10
+    assert abs(frac_biased - expect) < 0.08, (frac_biased, expect)
+    assert frac_uniform < 0.1 < frac_biased
