@@ -122,6 +122,14 @@ class NetworkConfig:
     n_output_dims: int = 16         # both MLPs emit 16-wide padded outputs
     sdf_bias: float = -0.1          # nerf_network.h:75 via base.json
     variance_init: float = 0.3      # nerf_network.h:72, testbed.cu:692
+    # MLP/jacobian-chain compute dtype. The reference computes its
+    # fully-fused MLPs in fp16 with fp32 masters (LOSS_SCALE=128,
+    # testbed.h:237); "bfloat16" is the TPU-native equivalent and needs
+    # no loss scaling (fp32-range exponent). A/B on v5e showed no step
+    # speedup (846 vs 851 ms — the step is gather/scatter-bound, not
+    # MXU-bound), so fp32 stays the default for numeric headroom; flip
+    # this when the arithmetic share of the step grows.
+    compute_dtype: str = "float32"
     # input widths (nerf_network.h:46-61): [xyz | hash feats] -> next mult of 16
     @property
     def sdf_input_dim(self) -> int:

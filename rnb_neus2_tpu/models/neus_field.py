@@ -128,9 +128,12 @@ class NeusField:
         """
         enc = hash_encoding.encode(params["hash_table"], x, self.static,
                                    valid_level, n_active)
+        cd = jnp.dtype(self.net.compute_dtype)
+        dot = lambda a, b: jnp.dot(a.astype(cd), b.astype(cd),
+                                   preferred_element_type=jnp.float32)
         w_x, w_enc = params["sdf_mlp"][0]
-        h = jax.nn.relu((x - 0.5) @ w_x.T + enc @ w_enc.T)
-        return apply_mlp(params["sdf_mlp"][1:], h)
+        h = jax.nn.relu(dot(x - 0.5, w_x.T) + dot(enc, w_enc.T))
+        return apply_mlp(params["sdf_mlp"][1:], h, compute_dtype=cd)
 
     def sdf(self, params, x: jnp.ndarray, valid_level=None,
             n_active: int | None = None) -> jnp.ndarray:
@@ -166,24 +169,33 @@ class NeusField:
         else:
             enc, jac = self._encode_jac(params["hash_table"], x,
                                         valid_level, n_active)
+        # compute dtype: bf16 matches the reference's fp16 MLP compute
+        # (fp32 masters, fp32 accumulation via preferred_element_type);
+        # outputs are returned in fp32
+        cd = jnp.dtype(self.net.compute_dtype)
+        f32 = jnp.float32
+        dot = lambda a, b: jnp.dot(a.astype(cd), b.astype(cd),
+                                   preferred_element_type=f32)
+        ein = lambda eq, a, b: jnp.einsum(eq, a.astype(cd), b.astype(cd),
+                                          preferred_element_type=f32)
         w_x, w_enc = params["sdf_mlp"][0]
-        pre = (x - 0.5) @ w_x.T + enc @ w_enc.T
+        pre = dot(x - 0.5, w_x.T) + dot(enc, w_enc.T)
         h = jax.nn.relu(pre)
         # position-jacobian of the first hidden layer: (N, H, 3)
         act = (pre > 0).astype(h.dtype)
-        jh = act[:, :, None] * (w_x[None, :, :]
-                                + jnp.einsum("hf,nfd->nhd", w_enc, jac))
+        jh = act[:, :, None] * (w_x[None, :, :].astype(f32)
+                                + ein("hf,nfd->nhd", w_enc, jac))
         # chain through remaining layers
         rest = params["sdf_mlp"][1:]
         for wl in rest[:-1]:
-            pre = h @ wl.T
+            pre = dot(h, wl.T)
             act = (pre > 0).astype(h.dtype)
             h = jax.nn.relu(pre)
-            jh = act[:, :, None] * jnp.einsum("oh,nhd->nod", wl, jh)
+            jh = act[:, :, None] * ein("oh,nhd->nod", wl, jh)
         w_out = rest[-1]
-        feats = h @ w_out.T
+        feats = dot(h, w_out.T)
         sdf = feats[:, 0] + self.net.sdf_bias
-        grad = jnp.einsum("h,nhd->nd", w_out[0], jh)
+        grad = ein("h,nhd->nd", w_out[0], jh)
         return sdf, grad, feats
 
     # -- full field ---------------------------------------------------------
@@ -205,9 +217,13 @@ class NeusField:
         # [feat(16) | dir-encoding(16, never computed → zeros) | xyz | ∇sdf]
         # — identical to the reference's packed 48-wide input, minus the
         # dead dir block's FLOPs.
+        cd = jnp.dtype(self.net.compute_dtype)
+        dot = lambda a, b: jnp.dot(a.astype(cd), b.astype(cd),
+                                   preferred_element_type=jnp.float32)
         w_feat, w_xyz, w_grad = params["rgb_mlp"][0]
-        h = jax.nn.relu(feats @ w_feat.T + x @ w_xyz.T + grad @ w_grad.T)
-        rgb_out = apply_mlp(params["rgb_mlp"][1:], h)
+        h = jax.nn.relu(dot(feats, w_feat.T) + dot(x, w_xyz.T)
+                        + dot(grad, w_grad.T))
+        rgb_out = apply_mlp(params["rgb_mlp"][1:], h, compute_dtype=cd)
         return {
             "albedo_raw": rgb_out[:, :3],
             "sdf": sdf,

@@ -60,7 +60,12 @@ def test_init_field_is_sphere_sdf():
 
 
 def test_grad_matches_finite_difference():
-    field, params = small_field()
+    # fp32 compute: this validates the analytic-jacobian math against
+    # central differences, which bf16 rounding would drown out
+    grid = HashGridConfig(n_levels=4, top_resolution=64)
+    net = NetworkConfig(compute_dtype="float32")
+    field = NeusField(grid, net)
+    params = init_params(jax.random.PRNGKey(0), grid, net)
     x = jnp.array([[0.4, 0.5, 0.6], [0.52, 0.48, 0.51]])
     _, grad, _ = field.sdf_and_grad(params, x)
     eps = 1e-4

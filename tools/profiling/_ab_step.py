@@ -1,4 +1,5 @@
 """A/B full-step time: width1 vs complex scatter, pinned ray bucket."""
+import sys; sys.path.insert(0, "/root/repo")
 import time
 
 import jax
@@ -28,4 +29,4 @@ def measure(mode):
 
 
 measure("width1")
-measure("complex")
+
