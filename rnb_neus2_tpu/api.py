@@ -134,6 +134,34 @@ class Testbed:
 
         save_image(self.render_to_cpu(view_idx), path, bit_depth=8)
 
+    def render_path(self, camera_path, n_frames: int,
+                    max_samples: int = 256, render_scale: float = 1.0):
+        """Render a fly-through along a CameraPath → list of (H, W, 4)
+        float RGBA frames (the headless counterpart of the reference's
+        camera-path playback, src/camera_path.cu; save with
+        io.image_io.save_image per frame for video assembly)."""
+        from .render.renderer import render_view
+
+        cams = self._dataset.cameras
+        frames = []
+        for m in camera_path.frames(n_frames):
+            import jax.numpy as jnp
+            V = cams.rot_c2w.shape[0]
+            cams_m = cams._replace(
+                rot_c2w=jnp.broadcast_to(jnp.asarray(m[:3, :3]),
+                                         (V, 3, 3)),
+                origin=jnp.broadcast_to(jnp.asarray(m[:3, 3]), (V, 3)))
+            out = render_view(self._trainer.field,
+                              self._trainer.inference_params, cams_m, 0,
+                              self._trainer.occ.bitfield, self.cfg.march,
+                              max_samples=max_samples,
+                              background=self.background_color[:3],
+                              envmap=self.envmap,
+                              render_scale=render_scale)
+            frames.append(np.concatenate(
+                [out["albedo"], out["alpha"][..., None]], axis=-1))
+        return frames
+
     # -- mesh -------------------------------------------------------------------
 
     def compute_marching_cubes_mesh(self, resolution: Tuple[int, int, int]

@@ -205,3 +205,46 @@ def test_render_scale_upsamples_to_full_resolution():
     cov_f = float(full["alpha"].mean())
     cov_h = float(half["alpha"].mean())
     assert abs(cov_f - cov_h) < 0.12, (cov_f, cov_h)
+
+
+def test_testbed_render_path_flythrough(tmp_path):
+    """Testbed.render_path: fly a 2-keyframe path, frames differ and are
+    well-formed RGBA."""
+    from rnb_neus2_tpu.api import Testbed, TestbedMode
+    from rnb_neus2_tpu.config import (HashGridConfig, MarchConfig,
+                                      TestbedConfig, TrainConfig)
+    from rnb_neus2_tpu.render.camera_path import CameraKeyframe, CameraPath
+    from rnb_neus2_tpu.testing.synthetic import write_prepared_scene
+
+    scene = tmp_path / "scene"
+    write_prepared_scene(str(scene), n_views=4, width=16, height=16,
+                         radius=0.25)
+    cfg = TestbedConfig(
+        grid=HashGridConfig(n_levels=3, top_resolution=32),
+        train=TrainConfig(target_batch_size=1 << 10,
+                          initial_rays_per_batch=64, occ_grid_size=16,
+                          max_steps=4),
+        march=MarchConfig(n_ladder=64))
+    tb = Testbed(TestbedMode.Nerf, cfg)
+    tb.load_training_data(str(scene))
+    while tb.frame():
+        pass
+    # direction-dependent background so frames vary with the camera even
+    # before the field has learned a surface
+    from rnb_neus2_tpu.render.envmap import init_envmap
+    em = np.asarray(init_envmap(8, 16, 0.0)).copy()
+    em[:, :8, 0] = 1.0
+    em[:, 8:, 1] = 1.0
+    tb.envmap = jnp.asarray(em)
+
+    rot = np.asarray(tb._dataset.cameras.rot_c2w)
+    org = np.asarray(tb._dataset.cameras.origin)
+    kfs = [CameraKeyframe.from_matrix(
+        np.concatenate([rot[i], org[i][:, None]], axis=1)) for i in (0, 2)]
+    frames = tb.render_path(CameraPath(kfs), n_frames=3, max_samples=32)
+    assert len(frames) == 3
+    for f in frames:
+        assert f.shape == (16, 16, 4)
+        assert np.isfinite(f).all()
+    # endpoints use different cameras → different images
+    assert np.abs(frames[0] - frames[-1]).max() > 1e-3
