@@ -62,6 +62,13 @@ def build_argparser():
                    help="occupancy grid resolution (0 = reference 128)")
     p.add_argument("--n-ladder", type=int, default=0,
                    help="ray-march ladder length (0 = reference 1024)")
+    p.add_argument("--render-path", default="",
+                   help="camera-path JSON (render/camera_path.py layout); "
+                        "renders a fly-through after training")
+    p.add_argument("--render-frames", type=int, default=60,
+                   help="frames along --render-path")
+    p.add_argument("--render-scale", type=float, default=1.0,
+                   help="internal render scale for the fly-through")
     return p
 
 
@@ -169,6 +176,32 @@ def run(args) -> int:
         logger.info("Saving Snapshot !")
         logger.info(path)
         snap.save_snapshot(path, trainer)
+
+    if args.render_path:
+        from ..io.image_io import save_image
+        from ..render.camera_path import CameraPath
+        from ..render.renderer import render_view
+        import numpy as np
+
+        cpath = CameraPath.load(args.render_path)
+        frames_dir = os.path.join(out_dir, "flythrough")
+        os.makedirs(frames_dir, exist_ok=True)
+        cams = dataset.cameras
+        import jax.numpy as jnp
+        V = cams.rot_c2w.shape[0]
+        for i, m in enumerate(cpath.frames(args.render_frames)):
+            cams_m = cams._replace(
+                rot_c2w=jnp.broadcast_to(jnp.asarray(m[:3, :3]), (V, 3, 3)),
+                origin=jnp.broadcast_to(jnp.asarray(m[:3, 3]), (V, 3)))
+            outr = render_view(trainer.field, trainer.inference_params,
+                               cams_m, 0, trainer.occ.bitfield, cfg.march,
+                               render_scale=args.render_scale)
+            rgba = np.concatenate(
+                [outr["albedo"], outr["alpha"][..., None]], axis=-1)
+            save_image(rgba, os.path.join(frames_dir, f"{i:05d}.png"),
+                       bit_depth=8)
+        logger.info(f"Rendered {args.render_frames} fly-through frames "
+                    f"to {frames_dir}")
     return 0
 
 

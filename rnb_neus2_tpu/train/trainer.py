@@ -54,6 +54,8 @@ class Trainer:
 
     def __init__(self, dataset: TrainingDataset, cfg: TestbedConfig,
                  params: Optional[Dict[str, Any]] = None):
+        from ..utils.compile_cache import enable_compilation_cache
+        enable_compilation_cache()
         self.dataset = dataset
         self.cfg = cfg
         self.field = NeusField(cfg.grid, cfg.network)
