@@ -34,7 +34,9 @@ mesh = extract_mesh(tr.field, tr.inference_params, resolution=256,
                     meta=ds.meta)
 print("mesh: %d verts %d faces in %.1fs" %
       (len(mesh["V"]), len(mesh["F"]), time.perf_counter() - t1), flush=True)
-r = np.linalg.norm(np.asarray(mesh["V"]) - 0.5, axis=1)
+# mesh["V"] is in WORLD coordinates (n2w applied): the synthetic scene's
+# sphere is centered at the world origin
+r = np.linalg.norm(np.asarray(mesh["V"]), axis=1)
 print("radius: mean %.4f (target %.4f)  std %.4f  p5 %.4f p95 %.4f"
       % (r.mean(), RADIUS, r.std(), np.percentile(r, 5),
          np.percentile(r, 95)))
