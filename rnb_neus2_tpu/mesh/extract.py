@@ -109,16 +109,25 @@ def extract_mesh(field, params, resolution: int = 512,
     F = inv[F]
     F = F[(F[:, 0] != F[:, 1]) & (F[:, 1] != F[:, 2]) & (F[:, 0] != F[:, 2])]
 
+    # pad vertex-count to a power of two: the per-mesh vertex count is
+    # otherwise a fresh jit shape every extraction (minutes of compile at
+    # the full config); bucketing makes these evals hit the persistent
+    # compilation cache across meshes/scenes
+    nV = len(V)
+    nPad = 1 << max(int(np.ceil(np.log2(max(nV, 1)))), 6)
+    Vp = np.concatenate(
+        [V, np.full((nPad - nV, 3), 0.5, V.dtype)], axis=0)
+
     # ---- normals from the SDF gradient (unit-cube space) -----------------
-    _, g, _ = field.sdf_and_grad(params, jnp.asarray(V))
-    N = np.array(g, copy=True)
+    _, g, _ = field.sdf_and_grad(params, jnp.asarray(Vp))
+    N = np.array(g[:nV], copy=True)
     N /= np.maximum(np.linalg.norm(N, axis=1, keepdims=True), 1e-12)
 
     # ---- vertex colors (albedo head) --------------------------------------
     C = None
     if with_colors:
-        out = field.apply(params, jnp.asarray(V))
-        C = np.clip(np.exp(np.clip(np.asarray(out["albedo_raw"]),
+        out = field.apply(params, jnp.asarray(Vp))
+        C = np.clip(np.exp(np.clip(np.asarray(out["albedo_raw"][:nV]),
                                    -10, 10)), 0.0, 1.0)
 
     # ---- to world space ----------------------------------------------------
