@@ -34,10 +34,16 @@ from ..config import HashGridConfig
 _PRIMES = (1, 2654435761, 805459861)
 
 # encode-backward scatter formulation (A/B-tested on v5e, see DESIGN.md):
-#   width1 — one width-1 scatter per feature column per level
+#   auto   — per-level best: one-hot MXU kernel (small dense), rows-of-16
+#            neighborhood scatter (dense), width-1 scatters (hashed)
+#   width1 — one width-1 scatter per feature column per level (oracle)
 #   rows   — one (N·8, F) row scatter per level (measured 1.7× slower)
 #   sorted — argsort indices then indices_are_sorted segment_sum per level
-_SCATTER_MODE = os.environ.get("RNB_SCATTER_MODE", "width1")
+_SCATTER_MODE = os.environ.get("RNB_SCATTER_MODE", "auto")
+
+# dense levels with table_size <= this use the Pallas one-hot MXU gradient
+# kernel on TPU (measured 8.5 ms vs 28 ms width-1 at 2^18 samples)
+_MXU_MAX_ENTRIES = int(os.environ.get("RNB_BWD_MXU_MAX", 1 << 15))
 
 
 class HashGridStatic:
@@ -257,6 +263,129 @@ def encode_with_jacobian(table: jnp.ndarray, positions: jnp.ndarray,
     return out.reshape(n, L * F), jac.reshape(n, L * F, 3)
 
 
+def _corner_flat_offsets(res: int):
+    """Flat dense-index offset of each of the 8 corners from the base cell
+    (x-fastest layout, grid.h:132-141): δ_c = dx + dy·res + dz·res²."""
+    return [int(c[0] + c[1] * res + c[2] * res * res) for c in _CORNERS]
+
+
+def grad_nbhd16(d0: jnp.ndarray, cf: jnp.ndarray, table_size: int,
+                res: int) -> jnp.ndarray:
+    """Dense-level table gradient via ONE rows-of-16 scatter.
+
+    All 8 corners of a sample sit at fixed flat offsets from its base cell
+    in the dense layout, so the 16 cotangents (8 corners × F=2) scatter as
+    a single 16-wide row at the base-cell index into a corner-redundant
+    buffer, which then reduces to the true table with 8 shifted dense adds.
+    Measured on v5e: 3.7 ns/source-element vs 6.7 for width-1 scatters
+    (the XLA scatter loop is per-row bound, so wide rows amortize).
+
+    d0: (N,) base-cell dense indices; cf: (N, 8, F) corner cotangents.
+    """
+    n, _, F = cf.shape
+    buf = jnp.zeros((table_size, 8 * F), cf.dtype)
+    buf = buf.at[d0].add(cf.reshape(n, 8 * F), mode="drop")
+    grad = jnp.zeros((table_size, F), cf.dtype)
+    for c, off in enumerate(_corner_flat_offsets(res)):
+        # corner entry = (d0 + off) % table_size — the roll reproduces the
+        # oracle's modular dense indexing (grid.h:132-141 + % table) exactly
+        grad = grad + jnp.roll(buf[:, c * F:(c + 1) * F], off, axis=0)
+    return grad
+
+
+def grad_onehot_mxu(idx_el: jnp.ndarray, cf_el: jnp.ndarray,
+                    table_size: int, interpret: bool = False) -> jnp.ndarray:
+    """Small-level table gradient as an on-the-fly one-hot contraction on
+    the MXU (Pallas): grad = onehotᵀ(S, N_el) @ cf (N_el, F), with the
+    one-hot generated per tile in VMEM (never materialized to HBM).
+    Replaces the reference's atomic scatter-add (grid.h kernel_grid
+    backward) with dense matmuls — the TPU-native formulation for levels
+    whose table fits comfortably in VMEM. Measured on v5e: 8.5 ms vs 28 ms
+    width-1 scatters at 2^21 source elements, S ≤ 2^14.
+
+    idx_el: (N_el,) element indices in [0, table_size) (pad with
+    >= Hpad*128 to drop); cf_el: (N_el, F) cotangents. Returns (S, F).
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    n_el, F = cf_el.shape
+    TN = 2048
+    H = -(-table_size // 128)
+    Hpad = -(-H // 128) * 128
+    nh = Hpad // 128
+
+    if n_el % TN:
+        pad = TN - n_el % TN
+        idx_el = jnp.concatenate(
+            [idx_el, jnp.full((pad,), Hpad * 128, jnp.int32)])
+        cf_el = jnp.concatenate([cf_el, jnp.zeros((pad, F), cf_el.dtype)])
+        n_el += pad
+
+    def kernel(idx_ref, v_ref, out_ref):
+        i = pl.program_id(0)
+
+        @pl.when(i == 0)
+        def _():
+            out_ref[:] = jnp.zeros_like(out_ref)
+
+        idx = idx_ref[:]
+        v = v_ref[:]
+        hi = idx // 128
+        lo = idx % 128
+        lane = jax.lax.broadcasted_iota(jnp.int32, (TN, 128), 1)
+        oh_lo = (lane == lo[:, None]).astype(jnp.float32)
+        m = jnp.concatenate([oh_lo * v[:, f:f + 1] for f in range(F)],
+                            axis=1)                        # (TN, 128F)
+
+        def body(h, _):
+            hrow = lane + h * 128
+            oh_hi = (hrow == hi[:, None]).astype(jnp.float32)
+            blk = jax.lax.dot_general(
+                oh_hi, m, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)        # (128, 128F)
+            out_ref[pl.ds(h * 128, 128), :] += blk
+            return 0
+
+        jax.lax.fori_loop(0, nh, body, 0)
+
+    out = pl.pallas_call(
+        kernel,
+        grid=(n_el // TN,),
+        in_specs=[
+            pl.BlockSpec((TN,), lambda i: (i,), memory_space=pltpu.VMEM),
+            pl.BlockSpec((TN, F), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((Hpad, 128 * F), lambda i: (0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((Hpad, 128 * F), jnp.float32),
+        interpret=interpret,
+    )(idx_el, cf_el.astype(jnp.float32))
+    # (Hpad, F·128) f-blocked → (Hpad·128, F) → crop
+    grad = out.reshape(Hpad, F, 128).transpose(0, 2, 1) \
+        .reshape(Hpad * 128, F)
+    return grad[:table_size].astype(cf_el.dtype)
+
+
+def _bwd_formulation(static: HashGridStatic, lvl: int, on_tpu: bool) -> str:
+    """Pick the per-level gradient formulation (see DESIGN.md kernel-war
+    notes; all three are exact, differing only in summation order)."""
+    dense = not int(static.hashed[lvl])
+    if _SCATTER_MODE != "auto":
+        # nbhd/mxu only exist for dense levels (corners of a hashed level
+        # have no fixed offset structure) — forcing them falls back
+        if _SCATTER_MODE in ("nbhd", "mxu") and not dense:
+            return "width1"
+        return _SCATTER_MODE
+    size = int(static.table_sizes[lvl])
+    if dense and on_tpu and size <= _MXU_MAX_ENTRIES:
+        return "mxu"
+    if dense:
+        return "nbhd"
+    return "width1"
+
+
 def make_encode_with_jacobian_cv(static: HashGridStatic,
                                  n_active: int | None = None):
     """custom-VJP encode_with_jacobian specialized to `static`.
@@ -318,12 +447,15 @@ def make_encode_with_jacobian_cv(static: HashGridStatic,
         n = g_out.shape[0]
         g_out = g_out.reshape(n, L, F) * level_mask[None, :, None]
         g_jac = g_jac.reshape(n, L, F, 3) * level_mask[None, :, None, None]
-        # scatter-adds go into PER-LEVEL buffers (≤2^19 rows, so the
-        # destination stays cache-resident — into the 5.3M-row table the
-        # same scatters ran ~60× slower and were >half the train step),
-        # one WIDTH-1 scatter per feature column (row-of-F scatters are
-        # a further ~8× slower per element); the per-level grads then
-        # concatenate into the (n_entries, F) cotangent.
+        # per-level gradient formulation (all exact; picked by measured
+        # v5e cost — see DESIGN.md "Kernel war, round 2"):
+        #   mxu    — one-hot MXU contraction, small dense levels
+        #   nbhd   — ONE rows-of-16 scatter at the base cell + dense
+        #            shifted reduction, dense levels
+        #   width1 — per-feature width-1 scatters, hashed levels (the
+        #            XLA per-element floor; corners hash independently
+        #            so no row packing exists)
+        on_tpu = jax.default_backend() == "tpu"
         pieces = []
         for lvl in range(La):
             idx, w, dw, scale = _level_indices_weights(positions, static,
@@ -332,11 +464,19 @@ def make_encode_with_jacobian_cv(static: HashGridStatic,
             size = int(static.table_sizes[lvl])
             cf = (w[:, :, None] * g_out[:, lvl][:, None, :]
                   + scale * jnp.einsum("ncd,nfd->ncf", dw, g_jac[:, lvl]))
-            if _SCATTER_MODE == "rows":
+            mode = _bwd_formulation(static, lvl, on_tpu)
+            if mode == "mxu":
+                pieces.append(grad_onehot_mxu(flat_idx, cf.reshape(-1, F),
+                                              size))
+            elif mode == "nbhd":
+                pieces.append(grad_nbhd16(
+                    idx[:, 0], cf, size,
+                    int(static.resolutions[lvl])))
+            elif mode == "rows":
                 pieces.append(jnp.zeros((size, F), g_out.dtype)
                               .at[flat_idx].add(cf.reshape(-1, F),
                                                 mode="drop"))
-            elif _SCATTER_MODE == "sorted":
+            elif mode == "sorted":
                 order = jnp.argsort(flat_idx)
                 pieces.append(jax.ops.segment_sum(
                     cf.reshape(-1, F)[order], flat_idx[order],

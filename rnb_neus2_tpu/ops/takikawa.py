@@ -84,12 +84,18 @@ def _occupied_cells(tri: np.ndarray, res: int) -> np.ndarray:
         small = e <= h
         done = t[small]
         if len(done):
-            # sample the 3 vertices + centroid of each small triangle
-            pts = np.concatenate([done.reshape(-1, 3),
-                                  done.mean(axis=1)], axis=0)
-            cells = np.clip((pts * res).astype(np.int64), 0, res - 1)
-            out.append(cells[:, 0] + cells[:, 1] * res
-                       + cells[:, 2] * res * res)
+            # mark every cell the small triangle's AABB overlaps (the
+            # box spans <= 2 cells per axis since the triangle is under
+            # half a cell) — conservative: a sliver crossing a cell
+            # boundary marks both cells, unlike point sampling which
+            # could miss one
+            lo = np.clip(np.floor(done.min(axis=1) * res), 0,
+                         res - 1).astype(np.int64)         # (T, 3)
+            hi = np.clip(np.floor(done.max(axis=1) * res), 0,
+                         res - 1).astype(np.int64)
+            for dx, dy, dz in _CORNERS:
+                c = np.minimum(lo + np.array([dx, dy, dz]), hi)
+                out.append(c[:, 0] + c[:, 1] * res + c[:, 2] * res * res)
         big = t[~small]
         if len(big):
             m01 = (big[:, 0] + big[:, 1]) / 2

@@ -36,28 +36,46 @@ class TonemapCurve(enum.Enum):      # common.h:133-138
 
 
 def _tonemap_curve(x: jnp.ndarray, curve: TonemapCurve) -> jnp.ndarray:
-    """Rational-polynomial tonemap curves (render_buffer.cu:254-310).
+    """Rational-polynomial tonemap curves, constants bit-matched to
+    render_buffer.cu:254-310:
 
-    All three non-identity curves are expressed as (x(ax+b))/(x(cx+d)+e)
-    with the published constants (ACES fitted; Hable aka Uncharted2 filmic
-    with white scale folded in; Reinhard x/(1+x))."""
+    - ACES folds a 0.6 pre-exposure cancellation into the fitted
+      constants (k0 = 0.6²·2.51, k1 = 0.6·0.03, ...);
+    - Hable folds a 2× exposure bias and the W=11.2 white scale into the
+      rational coefficients (k0·4·white_scale, k1·2·white_scale, ...);
+    - Reinhard is luminance-based x/(Y+1) with Rec.709 weights, applied
+      per pixel (NOT per channel)."""
     if curve == TonemapCurve.IDENTITY:
         return x
+    x = jnp.maximum(x, 0.0)
     if curve == TonemapCurve.ACES:
-        a, b, c, d, e = 2.51, 0.03, 2.43, 0.59, 0.14
+        k0 = 0.6 * 0.6 * 2.51
+        k1 = 0.6 * 0.03
+        k2 = 0.0
+        k3 = 0.6 * 0.6 * 2.43
+        k4 = 0.6 * 0.59
+        k5 = 0.14
     elif curve == TonemapCurve.HABLE:
         A, B, C, D, E, F = 0.15, 0.50, 0.10, 0.20, 0.02, 0.30
+        k0 = A * F - A * E
+        k1 = C * B * F - B * E
+        k2 = 0.0
+        k3 = A * F
+        k4 = B * F
+        k5 = D * F * F
         w = 11.2
-        white = ((w * (A * w + C * B) + D * E) / (w * (A * w + B) + D * F)
-                 - E / F)
-        def hable(v):
-            return ((v * (A * v + C * B) + D * E)
-                    / (v * (A * v + B) + D * F) - E / F)
-        return jnp.clip(hable(x) / white, 0.0, 1.0)
-    else:  # REINHARD
-        a, b, c, d, e = 1.0, 0.0, 0.0, 1.0, 1.0
-    y = (x * (a * x + b)) / (x * (c * x + d) + e)
-    return jnp.clip(y, 0.0, 1.0)
+        white_scale = (k3 * w * w + k4 * w + k5) / (k0 * w * w + k1 * w + k2)
+        k0 = 4.0 * k0 * white_scale
+        k1 = 2.0 * k1 * white_scale
+        k2 = k2 * white_scale
+        k3 = 4.0 * k3
+        k4 = 2.0 * k4
+    else:  # REINHARD: x / (dot(lum, x) + 1), Rec.709 luminance
+        lum = jnp.asarray([0.2126, 0.7152, 0.0722], x.dtype)
+        y = jnp.sum(x * lum, axis=-1, keepdims=True)
+        return x / (y + 1.0)
+    sq = x * x
+    return (sq * k0 + k1 * x + k2) / (k3 * sq + k4 * x + k5)
 
 
 def tonemap(color: jnp.ndarray, exposure: float = 0.0,

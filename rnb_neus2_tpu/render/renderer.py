@@ -53,6 +53,33 @@ def _upsample(img: np.ndarray, W: int, H: int) -> np.ndarray:
             + fy * ((1 - fx) * c + fx * d)).astype(img.dtype)
 
 
+def _downsample_box(img: np.ndarray, W: int, H: int) -> np.ndarray:
+    """Area-average (H', W'[, C]) → (H, W[, C]) for H' >= H, W' >= W.
+
+    Each output pixel averages the source pixels whose centers fall in
+    its footprint (fractional boxes handled by linear edge weights)."""
+    h, w = img.shape[:2]
+
+    def axis_weights(n_src, n_dst):
+        # weight of source sample s in destination d
+        ws = np.zeros((n_dst, n_src), np.float64)
+        scale = n_src / n_dst
+        for d in range(n_dst):
+            lo, hi = d * scale, (d + 1) * scale
+            s0, s1 = int(np.floor(lo)), int(np.ceil(hi))
+            for s in range(s0, min(s1, n_src)):
+                ov = min(hi, s + 1) - max(lo, s)
+                if ov > 0:
+                    ws[d, s] = ov
+        return ws / ws.sum(axis=1, keepdims=True)
+
+    wy = axis_weights(h, H)
+    wx = axis_weights(w, W)
+    flat = img.reshape(h, w, -1)
+    out = np.einsum("Hh,hwc,Ww->HWc", wy, flat, wx)
+    return out.reshape((H, W) + img.shape[2:]).astype(img.dtype)
+
+
 def render_view(field, params, cams: Cameras, view_idx: int,
                 bitfield: jnp.ndarray,
                 march_cfg: Optional[MarchConfig] = None,
@@ -75,11 +102,18 @@ def render_view(field, params, cams: Cameras, view_idx: int,
         W_out, H_out = W, H
         W = max(int(round(W * render_scale)), 1)
         H = max(int(round(H * render_scale)), 1)
-        # scale focal to preserve the field of view at the reduced raster
-        cams = cams._replace(focal=cams.focal * render_scale,
+        # scale focal by the ROUNDED raster ratio per axis so the FOV is
+        # preserved exactly even when W·scale is fractional
+        fscale = jnp.asarray([W / W_out, H / H_out], jnp.float32)
+        cams = cams._replace(focal=cams.focal * fscale,
                              resolution=(W, H))
         out = render_view(field, params, cams, view_idx, bitfield,
                           march_cfg, max_samples, tile, background, envmap)
+        if render_scale > 1.0:
+            # supersampled: box-filter down (area average), not
+            # point-sample — avoids aliasing the extra samples away
+            return {k: _downsample_box(v, W_out, H_out) for k, v in
+                    out.items()}
         return {k: _upsample(v, W_out, H_out) for k, v in out.items()}
     n = W * H
     ys, xs = np.mgrid[0:H, 0:W]

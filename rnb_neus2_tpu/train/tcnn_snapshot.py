@@ -148,24 +148,67 @@ def tcnn_blob_to_params(blob: np.ndarray, shapes: MlpShapes,
             "variance": variance}
 
 
+def _morton_to_rowmajor_perm(g: int) -> np.ndarray:
+    """perm[morton_code] = row-major index (x + g·y + g²·z).
+
+    The reference keeps the density grid in Morton (z-curve) order —
+    every grid kernel indexes it via tcnn::morton3D
+    (testbed_nerf.cu:452-741) and the snapshot stores those bytes
+    verbatim. This framework keeps the grid row-major (the TPU-friendly
+    layout for dense reshapes/slices), so snapshot interop permutes."""
+    m = np.arange(g ** 3, dtype=np.uint64)
+
+    def compact(v: np.ndarray) -> np.ndarray:
+        """Extract every 3rd bit (morton3D_invert)."""
+        out = np.zeros_like(v)
+        for b in range(21):
+            out |= ((v >> np.uint64(3 * b)) & np.uint64(1)) << np.uint64(b)
+        return out
+
+    x = compact(m)
+    y = compact(m >> np.uint64(1))
+    z = compact(m >> np.uint64(2))
+    return (x + g * y + g * g * z).astype(np.int64)
+
+
+_IDENTITY_6D = np.array([1, 0, 0, 0, 1, 0, 0, 0], np.float16)  # 8-buffer
+_IDENTITY_MAT = np.array([1, 0, 0, 0, 1, 0, 0, 0, 1, 0, 0, 0],
+                         np.float16)                           # 12-buffer
+
+
 def export_cuda_snapshot(path: str, trainer,
                          network_config: Dict[str, Any] | None = None
                          ) -> None:
     """Write a CUDA-testbed-layout msgpack snapshot from a Trainer.
 
     Inference (EMA) params go into params_binary, like the reference's
-    m_params_inference (trainer.h:286)."""
+    m_params_inference (trainer.h:286). The density grid is permuted
+    row-major → Morton (see _morton_to_rowmajor_perm). Global/local
+    movement blobs are written as identity (static RNb scenes never
+    accumulate movement) so the testbed's unconditional
+    load_global_movement/load_local_movement (testbed.cu:3386-3390)
+    find their keys."""
     shapes = MlpShapes.from_config(trainer.cfg)
     blob = params_to_tcnn_blob(trainer.opt_state.ema_params, shapes)
     density = np.asarray(trainer.occ.density, np.float16)
+    g = int(round(len(density) ** (1 / 3)))
+    perm = _morton_to_rowmajor_perm(g)
     cfg = dict(network_config or {})
     cfg["snapshot"] = {
         "n_params": int(shapes.n_params()),
         "params_binary": blob.tobytes(),
-        "density_grid_size": int(round(len(density) ** (1 / 3))),
-        "density_grid_binary": density.tobytes(),
+        "density_grid_size": g,
+        "density_grid_binary": density[perm].tobytes(),
         "training_step": int(trainer.step),
         "loss": float(trainer.loss_ema.value or 0.0),
+        # accumulated global movement: row-major 3x3 identity in a
+        # 12-wide TrainableBuffer + zero transition (nerf_network.h:76-78)
+        "rotation": _IDENTITY_MAT.tobytes(),
+        "transition": np.zeros(4, np.float16).tobytes(),
+        # delta-network (local) params: identity 6D rotation in an
+        # 8-wide buffer + zero transition (transform_network.h:32-35)
+        "local_rotation": _IDENTITY_6D.tobytes(),
+        "local_transition": np.zeros(4, np.float16).tobytes(),
         "nerf": {
             "aabb_scale": 1,
             "rgb": {
@@ -205,8 +248,14 @@ def import_cuda_snapshot(path: str, trainer) -> Dict[str, Any]:
     trainer.opt_state = OptState(adam=trainer.opt_state.adam,
                                  ema_params=params)
     if "density_grid_binary" in snap:
-        density = np.frombuffer(_bin(snap["density_grid_binary"]),
-                                np.float16).astype(np.float32)
+        morton = np.frombuffer(_bin(snap["density_grid_binary"]),
+                               np.float16).astype(np.float32)
+        # CUDA snapshots store the grid in Morton order; convert to this
+        # framework's row-major layout (see _morton_to_rowmajor_perm)
+        g = int(snap.get("density_grid_size",
+                         round(len(morton) ** (1 / 3))))
+        density = np.empty_like(morton)
+        density[_morton_to_rowmajor_perm(g)] = morton
         density = jnp.asarray(density)
         mean = jnp.mean(jnp.maximum(density, 0.0))
         bit = density > jnp.minimum(NERF_MIN_OPTICAL_THICKNESS, mean)
@@ -217,6 +266,21 @@ def import_cuda_snapshot(path: str, trainer) -> Dict[str, Any]:
     rays = snap.get("nerf", {}).get("rgb", {}).get("rays_per_batch")
     if rays:
         trainer.n_rays = int(rays)
+    # accumulated global movement: static Trainer has no movement model —
+    # surface a warning instead of silently dropping a non-identity
+    # transform (the CUDA testbed would bake it into the field queries)
+    if "rotation" in snap:
+        rot = np.frombuffer(_bin(snap["rotation"]), np.float16)[:9]
+        tra = np.frombuffer(_bin(snap.get("transition", b"\0" * 8)),
+                            np.float16)[:3]
+        if (np.abs(rot.astype(np.float32)
+                   - _IDENTITY_MAT[:9].astype(np.float32)).max() > 1e-3
+                or np.abs(tra.astype(np.float32)).max() > 1e-3):
+            import warnings
+            warnings.warn(
+                "CUDA snapshot carries a non-identity accumulated global "
+                "movement; this static-scene Trainer does not apply it — "
+                "use FrameSequenceTrainer for dynamic sequences")
     return snap
 
 

@@ -104,3 +104,64 @@ def test_second_order_grad_exists():
     gtab = jax.grad(f)(table, x)
     assert np.isfinite(np.asarray(gtab)).all()
     assert np.abs(np.asarray(gtab)).sum() > 0
+
+
+def _bwd_oracle_vs_mode(mode, monkeypatch, n=257):
+    """Gradient of a scalar loss through the custom-VJP encode must be
+    identical (up to summation order) across scatter formulations."""
+    cfg = HashGridConfig(n_levels=6, top_resolution=128,
+                         log2_hashmap_size=14)
+    static = he.HashGridStatic(cfg)
+    key = jax.random.PRNGKey(3)
+    table = he.init_table(key, cfg)
+    x = jax.random.uniform(jax.random.PRNGKey(4), (n, 3))
+    cot_f = jax.random.normal(jax.random.PRNGKey(5),
+                              (n, cfg.output_dim))
+    cot_j = jax.random.normal(jax.random.PRNGKey(6),
+                              (n, cfg.output_dim, 3))
+
+    def grad_for(mode_name):
+        monkeypatch.setattr(he, "_SCATTER_MODE", mode_name)
+        he_fn = he.make_encode_with_jacobian_cv(static)
+
+        def loss(t):
+            f, j = he_fn(t, x)
+            return jnp.vdot(f, cot_f) + jnp.vdot(j, cot_j)
+        return jax.grad(loss)(table)
+
+    g_ref = grad_for("width1")
+    g_new = grad_for(mode)
+    np.testing.assert_allclose(np.asarray(g_new), np.asarray(g_ref),
+                               rtol=2e-5, atol=2e-6)
+
+
+def test_bwd_nbhd_matches_width1(monkeypatch):
+    _bwd_oracle_vs_mode("nbhd", monkeypatch)
+
+
+def test_grad_nbhd16_unit():
+    """grad_nbhd16 == explicit per-corner scatter on a dense level."""
+    res, size, n = 9, 736, 64   # padded size > res^3 stays zero
+    size = -(-res ** 3 // 8) * 8
+    key = jax.random.PRNGKey(0)
+    d0 = jax.random.randint(key, (n,), 0, (res - 1) ** 3, dtype=jnp.int32)
+    cf = jax.random.normal(jax.random.PRNGKey(1), (n, 8, 2))
+    got = he.grad_nbhd16(d0, cf, size, res)
+    want = jnp.zeros((size, 2))
+    offs = he._corner_flat_offsets(res)
+    for c in range(8):
+        want = want.at[(d0 + offs[c]) % size].add(cf[:, c, :])
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-6, atol=1e-6)
+
+
+def test_grad_onehot_mxu_interpret():
+    """Pallas one-hot MXU gradient (interpret mode) == scatter oracle."""
+    S, n = 512, 300
+    idx = jax.random.randint(jax.random.PRNGKey(2), (n,), 0, S,
+                             dtype=jnp.int32)
+    cf = jax.random.normal(jax.random.PRNGKey(3), (n, 2))
+    got = he.grad_onehot_mxu(idx, cf, S, interpret=True)
+    want = jnp.zeros((S, 2)).at[idx].add(cf)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-6)

@@ -248,3 +248,38 @@ def test_testbed_render_path_flythrough(tmp_path):
         assert np.isfinite(f).all()
     # endpoints use different cameras → different images
     assert np.abs(frames[0] - frames[-1]).max() > 1e-3
+
+
+def test_tonemap_constants_match_reference_cuda():
+    """Numpy re-derivation of render_buffer.cu:254-310 — folded ACES
+    pre-exposure, Hable white-scale/exposure-bias folding, and
+    luminance-based Reinhard."""
+    from rnb_neus2_tpu.render.buffer import TonemapCurve, _tonemap_curve
+    x = np.array([[0.1, 0.5, 1.0], [0.0, 2.0, 0.25]], np.float32)
+
+    def cuda_curve(x, k0, k1, k2, k3, k4, k5):
+        sq = x * x
+        return (sq * k0 + k1 * x + k2) / (k3 * sq + k4 * x + k5)
+
+    aces = cuda_curve(x, 0.36 * 2.51, 0.6 * 0.03, 0.0,
+                      0.36 * 2.43, 0.6 * 0.59, 0.14)
+    np.testing.assert_allclose(
+        np.asarray(_tonemap_curve(jnp.asarray(x), TonemapCurve.ACES)),
+        aces, rtol=1e-6)
+
+    A, B, C, D, E, F = 0.15, 0.50, 0.10, 0.20, 0.02, 0.30
+    k0, k1, k2 = A * F - A * E, C * B * F - B * E, 0.0
+    k3, k4, k5 = A * F, B * F, D * F * F
+    w = 11.2
+    ws = (k3 * w * w + k4 * w + k5) / (k0 * w * w + k1 * w + k2)
+    hable = cuda_curve(x, 4 * k0 * ws, 2 * k1 * ws, k2 * ws,
+                       4 * k3, 2 * k4, k5)
+    np.testing.assert_allclose(
+        np.asarray(_tonemap_curve(jnp.asarray(x), TonemapCurve.HABLE)),
+        hable, rtol=1e-6)
+
+    yl = x @ np.array([0.2126, 0.7152, 0.0722], np.float32)
+    reinhard = x / (yl[:, None] + 1.0)
+    np.testing.assert_allclose(
+        np.asarray(_tonemap_curve(jnp.asarray(x), TonemapCurve.REINHARD)),
+        reinhard, rtol=1e-6)

@@ -53,3 +53,16 @@ def test_rendered_albedo_color(trained):
         mean_alb = out["albedo"][inside].mean(axis=0)
         # trained albedo ≈ GT albedo (0.7, 0.5, 0.3) within tolerance
         assert np.abs(mean_alb - np.array([0.7, 0.5, 0.3])).max() < 0.2
+
+
+def test_downsample_box_area_average():
+    from rnb_neus2_tpu.render.renderer import _downsample_box
+    img = np.arange(16, dtype=np.float32).reshape(4, 4)
+    out = _downsample_box(img, 2, 2)
+    # each output pixel = mean of its 2x2 block
+    want = np.array([[2.5, 4.5], [10.5, 12.5]], np.float32)
+    np.testing.assert_allclose(out, want)
+    # fractional ratio 3 -> 2 keeps total mean
+    img = np.random.RandomState(0).rand(3, 3).astype(np.float32)
+    out = _downsample_box(img, 2, 2)
+    np.testing.assert_allclose(out.mean(), img.mean(), rtol=1e-5)

@@ -129,3 +129,18 @@ def test_sdf_field_with_takikawa_encoding_trains():
     f.fit(V, F, n_steps=150, batch=1 << 11, seed=0)
     iou = f.calculate_iou(n_samples=1 << 13)
     assert iou > 0.5, iou
+
+
+def test_occupied_cells_conservative_for_boundary_sliver():
+    """A thin triangle straddling a cell boundary must mark BOTH cells
+    (the reference's exact tri/AABB octree build would; point sampling
+    could miss one)."""
+    from rnb_neus2_tpu.ops.takikawa import _occupied_cells
+    res = 4
+    # triangle crossing the x = 0.5 cell boundary at y,z ~ 0.6
+    tri = np.array([[[0.49, 0.6, 0.6],
+                     [0.51, 0.6, 0.6],
+                     [0.50, 0.62, 0.6]]], np.float64)
+    cells = _occupied_cells(tri, res)
+    x_cells = sorted(set(int(c) % res for c in cells))
+    assert 1 in x_cells and 2 in x_cells, x_cells

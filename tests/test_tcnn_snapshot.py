@@ -90,3 +90,48 @@ def test_import_rejects_mismatched_config(trainer, tmp_path):
     tr2 = Trainer(ds, cfg2)
     with pytest.raises(ValueError, match="configs differ"):
         tsnap.import_cuda_snapshot(path, tr2)
+
+
+def test_morton_permutation_roundtrip():
+    """Export permutes row-major → Morton; import inverts it exactly."""
+    from rnb_neus2_tpu.train.tcnn_snapshot import _morton_to_rowmajor_perm
+    g = 8
+    perm = _morton_to_rowmajor_perm(g)
+    assert sorted(perm) == list(range(g ** 3))
+    # morton code of (x,y,z)=(1,0,0) is 1 → row-major 1
+    assert perm[1] == 1
+    # morton code of (0,1,0) is 2 → row-major g
+    assert perm[2] == g
+    # morton code of (0,0,1) is 4 → row-major g*g
+    assert perm[4] == g * g
+    # (7,7,7) = last morton code → last row-major index
+    assert perm[g ** 3 - 1] == g ** 3 - 1
+
+
+def test_snapshot_density_grid_morton_layout(trainer, tmp_path):
+    """density_grid_binary bytes are Morton-ordered (CUDA layout) and
+    import restores the row-major grid bit-exactly."""
+    import msgpack
+    from rnb_neus2_tpu.train import tcnn_snapshot as ts
+    g = round(len(trainer.occ.density) ** (1 / 3))
+    dens = np.arange(g ** 3, dtype=np.float32) % 97
+    trainer.occ = trainer.occ._replace(density=jnp.asarray(dens))
+    path = tmp_path / "snap.msgpack"
+    ts.export_cuda_snapshot(str(path), trainer)
+    with open(path, "rb") as f:
+        snap = msgpack.unpackb(f.read(), raw=False)["snapshot"]
+    blob = np.frombuffer(snap["density_grid_binary"], np.float16)
+    perm = ts._morton_to_rowmajor_perm(g)
+    np.testing.assert_array_equal(blob, dens.astype(np.float16)[perm])
+    # movement keys present with identity contents
+    rot = np.frombuffer(snap["rotation"], np.float16)
+    assert rot.size == 12 and rot[0] == 1 and rot[4] == 1 and rot[8] == 1
+    loc = np.frombuffer(snap["local_rotation"], np.float16)
+    assert loc.size == 8 and loc[0] == 1 and loc[4] == 1
+    assert np.frombuffer(snap["transition"], np.float16).size == 4
+    assert np.frombuffer(snap["local_transition"], np.float16).size == 4
+    # round-trip
+    ts.import_cuda_snapshot(str(path), trainer)
+    got = np.asarray(trainer.occ.density)
+    np.testing.assert_allclose(got, dens.astype(np.float16).astype(
+        np.float32))
