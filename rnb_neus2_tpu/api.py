@@ -35,6 +35,68 @@ class TestbedMode(enum.Enum):
     Volume = "volume"
 
 
+class _ExtraModeDriver:
+    """Drives the inherited instant-ngp workloads (Image/Sdf/Volume,
+    models/extra_modes.py) through the Testbed facade verbs, mirroring
+    how pyngp exposes every ETestbedMode through one class
+    (python_api.cu:219-616, common.h:153)."""
+
+    def __init__(self, mode: "TestbedMode"):
+        from .models import extra_modes as em
+
+        self.mode = mode
+        self.field = {TestbedMode.Image: em.ImageField,
+                      TestbedMode.Sdf: em.SdfField,
+                      TestbedMode.Volume: em.VolumeField}[mode]()
+        self.params = None
+        self.state = None
+        self.step = 0
+        self.loss = 0.0
+        self._data = None
+
+    def load(self, source) -> None:
+        """source: image path/array (Image), mesh path/(V,F) (Sdf),
+        volume path/.npy array (Volume) — the same per-mode dispatch as
+        Testbed::load_training_data (testbed.cu load_file by mode)."""
+        import numpy as np
+
+        if self.mode == TestbedMode.Image:
+            if isinstance(source, (str, os.PathLike)):
+                from .io.image_io import load_image
+                source = load_image(str(source))[..., :3]
+            self._data = (np.asarray(source, np.float32),)
+        elif self.mode == TestbedMode.Sdf:
+            if isinstance(source, (str, os.PathLike)):
+                from .mesh.writer import load_obj
+                source = load_obj(str(source))
+            self._data = (np.asarray(source[0], np.float32),
+                          np.asarray(source[1]))
+        else:
+            if isinstance(source, (str, os.PathLike)):
+                source = np.load(str(source))
+            self._data = (np.asarray(source, np.float32),)
+
+    def train(self, n_steps: int) -> None:
+        assert self._data is not None, "load_training_data first"
+        out = self.field.fit(*self._data, n_steps=n_steps,
+                             seed=self.step, params=self.params,
+                             state=self.state, return_state=True)
+        self.params, self.state, self.loss = out
+        self.step += n_steps
+
+    def render(self, W: int = 0, H: int = 0):
+        import numpy as np
+
+        if self.mode == TestbedMode.Image:
+            img = self._data[0]
+            H = H or img.shape[0]
+            W = W or img.shape[1]
+            return self.field.render(self.params, W, H)
+        raise NotImplementedError(
+            f"render_to_cpu for mode {self.mode}: use the field object "
+            "(sphere tracing / volume rendering helpers)")
+
+
 class Testbed:
     """Facade over Trainer + renderer + mesh extraction."""
 
@@ -42,10 +104,6 @@ class Testbed:
                  config: Optional[object] = None):
         from .config import TestbedConfig
 
-        if mode != TestbedMode.Nerf:
-            raise NotImplementedError(
-                f"mode {mode}: see rnb_neus2_tpu.models extras; the "
-                "pipeline API drives Nerf mode (main.cu:283)")
         self.mode = mode
         self.cfg = config or TestbedConfig()
         self.max_iter = self.cfg.train.max_steps
@@ -56,14 +114,23 @@ class Testbed:
         # optional lat-long RGBA background texture (render/envmap.py,
         # reference envmap.cuh); None = constant background_color
         self.envmap = None
+        # non-Nerf workloads (ETestbedMode, common.h:153) are driven by
+        # the models/extra_modes fields through the same facade verbs
+        # (load_training_data / frame / train / render_to_cpu /
+        # calculate_iou), mirroring pyngp (python_api.cu:219-616)
+        self._extra = None if mode == TestbedMode.Nerf \
+            else _ExtraModeDriver(mode)
 
     # -- data ----------------------------------------------------------------
 
-    def load_training_data(self, scene_dir: str) -> None:
+    def load_training_data(self, source) -> None:
+        if self._extra is not None:
+            self._extra.load(source)
+            return
         from .io.dataset import load_transform_json
         from .train.trainer import Trainer
 
-        self._dataset = load_transform_json(str(scene_dir))
+        self._dataset = load_transform_json(str(source))
         self._trainer = Trainer(self._dataset, self.cfg)
 
     def reload_network_from_file(self, path: str = "") -> None:
@@ -82,19 +149,29 @@ class Testbed:
         (Testbed::frame, testbed.cu:1826-1919)."""
         if not self.shall_train or self.training_step >= self.max_iter:
             return False
-        self._trainer.train_step()
+        if self._extra is not None:
+            self._extra.train(1)
+        else:
+            self._trainer.train_step()
         return True
 
     def train(self, n_steps: int) -> None:
+        if self._extra is not None:
+            self._extra.train(n_steps)
+            return
         for _ in range(n_steps):
             self._trainer.train_step()
 
     @property
     def training_step(self) -> int:
+        if self._extra is not None:
+            return self._extra.step
         return self._trainer.step if self._trainer else 0
 
     @property
     def loss(self) -> float:
+        if self._extra is not None:
+            return self._extra.loss
         return self._trainer.loss_ema.value if self._trainer else 0.0
 
     @property
@@ -117,6 +194,8 @@ class Testbed:
     def render_to_cpu(self, view_idx: int = 0, max_samples: int = 256
                       ) -> np.ndarray:
         """Render a training view → (H, W, 4) float RGBA."""
+        if self._extra is not None:
+            return self._extra.render()
         from .render.renderer import render_view
 
         out = render_view(self._trainer.field,
@@ -201,7 +280,12 @@ class Testbed:
     def calculate_iou(self, n_samples: int = 128 ** 3, thresh: float = 0.0,
                       gt_sdf=None, seed: int = 0) -> float:
         """Volumetric IoU between the learned SDF and a ground-truth SDF
-        callable over [0,1]³ (Testbed::calculate_iou, testbed.h:378)."""
+        callable over [0,1]³ (Testbed::calculate_iou, testbed.h:378).
+        In Sdf mode the GT is the loaded mesh itself."""
+        if self._extra is not None:
+            assert self.mode == TestbedMode.Sdf, self.mode
+            return self._extra.field.calculate_iou(
+                min(n_samples, 1 << 15), seed)
         import jax.numpy as jnp
 
         key = jax.random.PRNGKey(seed)

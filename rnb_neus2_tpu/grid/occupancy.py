@@ -136,3 +136,110 @@ def lookup(bitfield: jnp.ndarray, pos: jnp.ndarray,
 def update_cadence(step: int) -> int:
     """clamp(step/16, 1, 16) (testbed.cu:2801)."""
     return int(np.clip(step // 16, 1, 16))
+
+
+# ---------------------------------------------------------------------------
+# Multi-cascade occupancy (aabb_scale > 1)
+# ---------------------------------------------------------------------------
+# The reference keeps one 128³ grid per cascade m, covering the cube of
+# side 2^m centred on 0.5 (cascaded_grid_idx_at, testbed_nerf.cu:439-458);
+# the marcher picks the cascade from the position (and step size) via
+# mip_from_pos/mip_from_dt (:569-583); after thresholding, each finer
+# cascade's occupancy is max-pooled into the central eighth of the next
+# (bitfield_max_pool :719-741). Arrays here are (C, G³) row-major; the
+# single-cascade API above stays 1-D for the aabb_scale = 1 fast path.
+
+
+def mip_from_pos(pos: jnp.ndarray, max_cascade: int) -> jnp.ndarray:
+    """(..., 3) → (...) int32 cascade from position
+    (testbed_nerf.cu:569-573: frexp(max|pos−0.5|) exponent + 1)."""
+    maxval = jnp.max(jnp.abs(pos - 0.5), axis=-1)
+    # frexpf: maxval = f·2^e with f ∈ [0.5, 1) → e = floor(log2(v)) + 1
+    e = jnp.floor(jnp.log2(jnp.maximum(maxval, 1e-30))).astype(jnp.int32) + 1
+    return jnp.clip(e + 1, 0, max_cascade)
+
+
+def mip_from_dt(dt: jnp.ndarray, pos: jnp.ndarray,
+                max_cascade: int, grid_size: int = NERF_GRIDSIZE
+                ) -> jnp.ndarray:
+    """Cascade from step size and position (testbed_nerf.cu:576-583)."""
+    mip = mip_from_pos(pos, max_cascade)
+    x = dt * (2 * grid_size)
+    e = jnp.floor(jnp.log2(jnp.maximum(x, 1e-30))).astype(jnp.int32) + 1
+    return jnp.where(x < 1.0, mip,
+                     jnp.clip(jnp.maximum(e, mip), 0, max_cascade))
+
+
+def init_state_cascaded(grid_size: int = NERF_GRIDSIZE,
+                        n_cascades: int = 1) -> OccupancyState:
+    n = grid_size ** 3
+    return OccupancyState(
+        density=jnp.zeros((n_cascades, n), jnp.float32),
+        bitfield=jnp.zeros((n_cascades, n), bool),
+        mean_density=jnp.zeros((), jnp.float32),
+        ema_step=jnp.zeros((), jnp.int32),
+    )
+
+
+def cascade_cell_positions(key: jax.Array, grid_size: int,
+                           n_cascades: int) -> jnp.ndarray:
+    """(C·G³, 3) world positions: one jittered point per cell per cascade
+    (cascade m spans [0.5 − 2^{m-1}, 0.5 + 2^{m-1}] per axis)."""
+    pts = []
+    for m in range(n_cascades):
+        k = jax.random.fold_in(key, m)
+        local = cell_positions(k, grid_size)          # in [0,1]
+        pts.append((local - 0.5) * (2.0 ** m) + 0.5)
+    return jnp.concatenate(pts, axis=0)
+
+
+def _maxpool_into_next(bits: jnp.ndarray, grid_size: int) -> jnp.ndarray:
+    """(C, G³) bool → same, with each cascade's central eighth OR'd with
+    the 2× max-pool of the finer cascade (bitfield_max_pool)."""
+    g = grid_size
+    C = bits.shape[0]
+    out = [bits[0]]
+    for m in range(1, C):
+        fine = out[m - 1].reshape(g, g, g)
+        pooled = fine.reshape(g // 2, 2, g // 2, 2, g // 2, 2) \
+            .any(axis=(1, 3, 5))
+        cur = bits[m].reshape(g, g, g)
+        q = g // 4
+        cur = cur.at[q:q + g // 2, q:q + g // 2, q:q + g // 2].set(
+            cur[q:q + g // 2, q:q + g // 2, q:q + g // 2] | pooled)
+        out.append(cur.reshape(-1))
+    return jnp.stack(out, axis=0)
+
+
+def update_cascaded(state: OccupancyState, densities: jnp.ndarray,
+                    grid_size: int = NERF_GRIDSIZE,
+                    decay: float = 0.95,
+                    thresh: float = NERF_MIN_OPTICAL_THICKNESS
+                    ) -> OccupancyState:
+    """Merge per-cell densities (C, G³) and rebuild cascaded occupancy."""
+    new_density = jnp.where(state.density < 0.0, state.density,
+                            jnp.maximum(state.density * decay, densities))
+    mean = jnp.mean(jnp.maximum(new_density[0], 0.0))  # mean over mip 0,
+    # like the reference (update_density_grid_mean_and_bitfield :3497-3517)
+    bits = new_density > jnp.minimum(thresh, mean)
+    bits = _maxpool_into_next(bits, grid_size)
+    return OccupancyState(density=new_density, bitfield=bits,
+                          mean_density=mean, ema_step=state.ema_step + 1)
+
+
+def lookup_cascaded(bitfield: jnp.ndarray, pos: jnp.ndarray,
+                    dt: jnp.ndarray | None = None,
+                    grid_size: int = NERF_GRIDSIZE) -> jnp.ndarray:
+    """Occupancy at world positions across cascades
+    (density_grid_occupied_at + mip selection)."""
+    C = bitfield.shape[0]
+    mip = mip_from_pos(pos, C - 1)
+    if dt is not None:
+        mip = mip_from_dt(dt, pos, C - 1, grid_size)
+    scale = jnp.exp2(-mip.astype(jnp.float32))[..., None]
+    local = (pos - 0.5) * scale + 0.5
+    cell = jnp.clip((local * grid_size).astype(jnp.int32), 0,
+                    grid_size - 1)
+    idx = cell[..., 0] + grid_size * (cell[..., 1]
+                                      + grid_size * cell[..., 2])
+    return bitfield[mip, idx]

@@ -206,17 +206,127 @@ def load_sfm_scene(sfm_path: str, albedo_sfm_path: str = "",
             "scale_mat": None}
 
 
-def load_sfm_scene_pyav(sfm_path: str, **kw) -> dict:
-    """pyalicevision-backed loader (reference sfm_pyav_loader.py).
+def _pyav_intrinsic_K(intrinsic, camera_mod, numeric_mod) -> np.ndarray:
+    """4×4 K from a pyalicevision intrinsic: Pinhole cast with focal/
+    principal-point accessors, AttributeError and non-pinhole fallbacks to
+    the raw scale/offset (reference sfm_pyav_loader.py:22-46)."""
+    K = np.eye(4, dtype=np.float32)
+    cam = camera_mod.Pinhole.cast(intrinsic)
+    if cam is not None:
+        try:
+            K[0, 0] = cam.getFocalLengthPixX()
+            K[1, 1] = cam.getFocalLengthPixY()
+        except AttributeError:
+            s = intrinsic.getScale()
+            K[0, 0], K[1, 1] = s.x(), s.y()
+        pp = cam.getPrincipalPoint()
+        K[0, 2] = numeric_mod.getX(pp)
+        K[1, 2] = numeric_mod.getY(pp)
+    else:
+        s = intrinsic.getScale()
+        o = intrinsic.getOffset()
+        K[0, 0], K[1, 1] = s.x(), s.y()
+        K[0, 2], K[1, 2] = o.x(), o.y()
+    return K
 
-    The bindings are optional (not in this image); raises ImportError so the
-    factory falls back to the JSON parser — same behavior as the reference
-    (dataloaders/__init__.py:44-56).
+
+def _pyav_load_sfm(sfm_io, sfm_data_mod, path: str, required: bool,
+                   logger=None):
+    """Load one SfMData file; None on optional failure (reference
+    sfm_pyav_loader.py:77-110)."""
+    if not required and (not path or not os.path.exists(path)):
+        return None
+    data = sfm_data_mod.SfMData()
+    if not sfm_io.load(data, path, sfm_io.ALL):
+        if required:
+            raise RuntimeError(f"Failed to load SfMData: {path}")
+        if logger:
+            logger.info(f"Failed to load optional SfMData {path}")
+        return None
+    return data
+
+
+def load_sfm_scene_pyav(sfm_path: str, albedo_sfm_path: str = "",
+                        mask_sfm_path: str = "",
+                        mask_folder_path: str = "", logger=None) -> dict:
+    """pyalicevision-backed SfM loader (reference sfm_pyav_loader.py).
+
+    Same loader-contract dict as the JSON parser: representative views
+    (viewId == poseId) with a Y/Z-flipped c2w (AliceVision is Y-down/
+    Z-forward), Pinhole intrinsics with accessor fallbacks, flipped
+    landmarks, per-pose albedo/mask SfM matching with a mask-folder
+    filename fallback. ImportError propagates so the factory can fall
+    back to the JSON parser when the bindings are absent.
     """
-    import pyalicevision  # noqa: F401  (optional dependency)
-    raise NotImplementedError(
-        "pyalicevision present but native SfM loading not yet wired; "
-        "use the JSON loader")
+    from pyalicevision import (camera, numeric, sfmData as sfm_data_mod,
+                               sfmDataIO)
+
+    flip4 = np.diag([1.0, -1.0, -1.0, 1.0]).astype(np.float32)
+    normal_sfm = _pyav_load_sfm(sfmDataIO, sfm_data_mod, sfm_path, True,
+                                logger)
+    albedo_sfm = _pyav_load_sfm(sfmDataIO, sfm_data_mod, albedo_sfm_path,
+                                False, logger)
+    mask_sfm = _pyav_load_sfm(sfmDataIO, sfm_data_mod, mask_sfm_path,
+                              False, logger)
+
+    all_views = normal_sfm.getViews()
+    if not len(all_views):
+        raise RuntimeError(f"No views in SfMData {sfm_path}")
+
+    lms = normal_sfm.getLandmarks()
+    landmarks = None
+    if len(lms):
+        pts = np.array([[lms[k].X[0], lms[k].X[1], lms[k].X[2]]
+                        for k in lms.keys()], np.float32)
+        landmarks = pts * np.array([1, -1, -1], np.float32)
+
+    albedo_views = albedo_sfm.getViews() if albedo_sfm is not None else {}
+    mask_views = mask_sfm.getViews() if mask_sfm is not None else {}
+
+    def find_mask(pose_id):
+        if pose_id in mask_views:
+            p = mask_views[pose_id].getImage().getImagePath()
+            if os.path.exists(p):
+                return p
+        if mask_folder_path and os.path.isdir(mask_folder_path):
+            for ext in (".png", ".jpg", ".jpeg", ".exr"):
+                cand = os.path.join(mask_folder_path, f"{pose_id}{ext}")
+                if os.path.exists(cand):
+                    return cand
+        return None
+
+    views, W, H = [], None, None
+    for pose_id in sorted(v for v in all_views.keys()
+                          if v == all_views[v].getPoseId()):
+        view = all_views[pose_id]
+        if not normal_sfm.isPoseAndIntrinsicDefined(pose_id):
+            continue
+        tf = normal_sfm.getPose(view).getTransform()
+        c2w = np.eye(4, dtype=np.float32)
+        c2w[:3, :3] = np.asarray(tf.rotation(), np.float32).T
+        c2w[:3, 3] = np.asarray(tf.center(), np.float32).squeeze()
+        c2w = flip4 @ c2w
+        intr = normal_sfm.getIntrinsics()[view.getIntrinsicId()]
+        K = _pyav_intrinsic_K(intr, camera, numeric)
+        img = view.getImage()
+        if W is None:
+            W, H = img.getWidth(), img.getHeight()
+        albedo_path = None
+        if pose_id in albedo_views:
+            albedo_path = albedo_views[pose_id].getImage().getImagePath()
+        views.append({
+            "c2w": c2w, "K": K,
+            "normal_path": img.getImagePath(),
+            "albedo_path": albedo_path,
+            "mask_path": find_mask(pose_id),
+            "pose_id": str(pose_id),
+        })
+    if not views:
+        raise RuntimeError("No valid views could be loaded")
+    if logger:
+        logger.info(f"Loaded {len(views)} views via pyalicevision")
+    return {"views": views, "landmarks": landmarks,
+            "image_width": W, "image_height": H, "scale_mat": None}
 
 
 # ---------------------------------------------------------------------------

@@ -101,12 +101,14 @@ class ImageField:
                                                         xy))
 
     def fit(self, image: np.ndarray, n_steps=500, batch=1 << 14, lr=1e-2,
-            seed=0):
+            seed=0, params=None, state=None, return_state=False):
         H, W, C = image.shape
         img = jnp.asarray(image)
-        params = self.init(jax.random.PRNGKey(seed))
         tx = optax.adam(lr, b1=0.9, b2=0.99, eps=1e-15)
-        state = tx.init(params)
+        if params is None:
+            params = self.init(jax.random.PRNGKey(seed))
+        if state is None:
+            state = tx.init(params)
 
         @jax.jit
         def step(p, s, key):
@@ -126,6 +128,8 @@ class ImageField:
         for _ in range(n_steps):
             key, k = jax.random.split(key)
             params, state, l = step(params, state, k)
+        if return_state:
+            return params, state, float(l)
         return params, float(l)
 
     def render(self, params, W, H):
@@ -169,30 +173,35 @@ class SdfField:
         return self.field.sdf(params, pts)
 
     def fit(self, vertices, faces, n_steps=400, batch=1 << 13, lr=1e-3,
-            seed=0, surface_frac=0.5):
+            seed=0, surface_frac=0.5, params=None, state=None,
+            return_state=False):
         from ..io.raycast import RayCaster
 
-        caster = RayCaster(vertices, faces)
+        caster = self.caster if getattr(self, "caster", None) is not None \
+            else RayCaster(vertices, faces)
         rng = np.random.default_rng(seed)
-        if self.encoding == "takikawa":
-            from ..ops import takikawa
-            from ..ops.mlp import xavier_uniform
-            self.octree = takikawa.build_triangle_octree(
-                vertices, faces, self.octree_depth,
-                self.octree_starting_level)
-            ks = jax.random.split(jax.random.PRNGKey(seed), 4)
-            n_in = self.octree.n_output_dims
-            params = {
-                "table": takikawa.init_takikawa_params(ks[0], self.octree),
-                "mlp": [xavier_uniform(ks[1], 64, n_in),
-                        xavier_uniform(ks[2], 64, 64),
-                        xavier_uniform(ks[3], 1, 64)],
-            }
-        else:
-            params = self._init_params(jax.random.PRNGKey(seed), self.grid,
-                                       self.net)
+        if params is None:
+            if self.encoding == "takikawa":
+                from ..ops import takikawa
+                from ..ops.mlp import xavier_uniform
+                self.octree = takikawa.build_triangle_octree(
+                    vertices, faces, self.octree_depth,
+                    self.octree_starting_level)
+                ks = jax.random.split(jax.random.PRNGKey(seed), 4)
+                n_in = self.octree.n_output_dims
+                params = {
+                    "table": takikawa.init_takikawa_params(ks[0],
+                                                           self.octree),
+                    "mlp": [xavier_uniform(ks[1], 64, n_in),
+                            xavier_uniform(ks[2], 64, 64),
+                            xavier_uniform(ks[3], 1, 64)],
+                }
+            else:
+                params = self._init_params(jax.random.PRNGKey(seed),
+                                           self.grid, self.net)
         tx = optax.adam(lr, b1=0.9, b2=0.99, eps=1e-15)
-        state = tx.init(params)
+        if state is None:
+            state = tx.init(params)
 
         tri = np.asarray(vertices)[np.asarray(faces)]
 
@@ -226,6 +235,8 @@ class SdfField:
             params, state, l = step(params, state, jnp.asarray(pts), target)
         self.params = params
         self.caster = caster
+        if return_state:
+            return params, state, float(l)
         return params, float(l)
 
     def calculate_iou(self, n_samples=1 << 15, seed=0) -> float:
@@ -258,12 +269,14 @@ class VolumeField:
             apply_mlp(params["mlp"], enc)[:, 0], -10.0, 10.0))
 
     def fit(self, volume: np.ndarray, n_steps=400, batch=1 << 13, lr=1e-2,
-            seed=0):
+            seed=0, params=None, state=None, return_state=False):
         vol = jnp.asarray(volume, jnp.float32)
         X, Y, Z = volume.shape
-        params = self.init(jax.random.PRNGKey(seed))
         tx = optax.adam(lr, b1=0.9, b2=0.99, eps=1e-15)
-        state = tx.init(params)
+        if params is None:
+            params = self.init(jax.random.PRNGKey(seed))
+        if state is None:
+            state = tx.init(params)
 
         @jax.jit
         def step(p, s, key):
@@ -284,4 +297,6 @@ class VolumeField:
             key, k = jax.random.split(key)
             params, state, l = step(params, state, k)
         self.params = params
+        if return_state:
+            return params, state, float(l)
         return params, float(l)

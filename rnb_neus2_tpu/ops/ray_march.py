@@ -78,9 +78,15 @@ def t_ladder(startt: jnp.ndarray, n_points: int,
     return jnp.where(k < n0, t_const, t_geom)
 
 
-def _ladder_valid(ray_o, ray_d, bitfield, u_start, n_ladder, cone_angle):
-    """Shared ladder construction: returns t, dt, valid, n_valid (R, K)."""
-    tmin, tmax = ray_aabb(ray_o, ray_d)
+def _ladder_valid(ray_o, ray_d, bitfield, u_start, n_ladder, cone_angle,
+                  aabb_scale: float = 1.0):
+    """Shared ladder construction: returns t, dt, valid, n_valid (R, K).
+
+    aabb_scale > 1 marches the scaled cube centred on 0.5 and consults
+    the cascaded occupancy grid (bitfield (C, G³)) with the reference's
+    mip selection (testbed_nerf.cu:569-583, 755-790)."""
+    lo, hi = 0.5 - aabb_scale / 2.0, 0.5 + aabb_scale / 2.0
+    tmin, tmax = ray_aabb(ray_o, ray_d, lo, hi)
     tmin = jnp.maximum(tmin, 0.0)
     dt0 = jnp.clip(tmin * cone_angle, MIN_CONE_STEPSIZE, MAX_CONE_STEPSIZE)
     startt = tmin + dt0 * u_start
@@ -89,21 +95,24 @@ def _ladder_valid(ray_o, ray_d, bitfield, u_start, n_ladder, cone_angle):
     dt = jnp.clip(t * cone_angle, MIN_CONE_STEPSIZE, MAX_CONE_STEPSIZE)
 
     pos = ray_o[:, None, :] + t[..., None] * ray_d[:, None, :]
-    inside = jnp.all((pos >= 0.0) & (pos <= 1.0), axis=-1)
+    inside = jnp.all((pos >= lo) & (pos <= hi), axis=-1)
     inside &= (tmax[:, None] > tmin[:, None])
-    occ = occupancy.lookup(bitfield, pos)
+    if bitfield.ndim == 2:
+        occ = occupancy.lookup_cascaded(bitfield, pos, dt)
+    else:
+        occ = occupancy.lookup(bitfield, pos)
     valid = inside & occ
     return t, dt, valid, jnp.sum(valid, axis=1)
 
 
 def march(ray_o: jnp.ndarray, ray_d: jnp.ndarray, bitfield: jnp.ndarray,
           u_start: jnp.ndarray, n_ladder: int, max_samples: int,
-          cone_angle: float) -> MarchedRays:
+          cone_angle: float, aabb_scale: float = 1.0) -> MarchedRays:
     """Dense per-ray compaction: first M valid samples of each ray
     (order-preserving top_k). Used by the inference renderer and tests."""
     max_samples = min(max_samples, n_ladder)
     t, dt, valid, n_valid = _ladder_valid(ray_o, ray_d, bitfield, u_start,
-                                          n_ladder, cone_angle)
+                                          n_ladder, cone_angle, aabb_scale)
     k = jnp.arange(n_ladder, dtype=jnp.int32)[None, :]
     key = jnp.where(valid, -k, -(n_ladder + k))          # valid sort first
     _, sel = jax.lax.top_k(key, max_samples)             # (R, M) indices
@@ -114,13 +123,13 @@ def march(ray_o: jnp.ndarray, ray_d: jnp.ndarray, bitfield: jnp.ndarray,
 
 def march_flat(ray_o: jnp.ndarray, ray_d: jnp.ndarray, bitfield: jnp.ndarray,
                u_start: jnp.ndarray, n_ladder: int, n_slots: int,
-               cone_angle: float) -> FlatSamples:
+               cone_angle: float, aabb_scale: float = 1.0) -> FlatSamples:
     """Global compaction into a fixed S-slot buffer with whole-ray drops on
     budget overflow — the TPU restatement of the reference's two-pass
     count + atomicAdd compaction (testbed_nerf.cu:1332-1364)."""
     R = ray_o.shape[0]
     t, dt, valid, n_valid = _ladder_valid(ray_o, ray_d, bitfield, u_start,
-                                          n_ladder, cone_angle)
+                                          n_ladder, cone_angle, aabb_scale)
     cum = jnp.cumsum(n_valid)
     ray_kept = cum <= n_slots            # drop whole overflowing rays
     counts = jnp.where(ray_kept, n_valid, 0)

@@ -50,3 +50,50 @@ def test_api_surface(tmp_path):
 
     m = tb.compute_marching_cubes_mesh((48, 48, 48))
     assert set(m.keys()) == {"V", "N", "C", "F"}
+
+
+# ---------------------------------------------------------------------------
+# mode selection through the facade (ETestbedMode, python_api.cu:219-616)
+# ---------------------------------------------------------------------------
+
+def test_image_mode_through_facade():
+    import rnb_neus2_tpu.api as ngp
+    rng = np.random.RandomState(0)
+    img = np.zeros((32, 32, 3), np.float32)
+    img[8:24, 8:24] = [0.9, 0.2, 0.4]
+    tb = ngp.Testbed(ngp.TestbedMode.Image)
+    tb.load_training_data(img)
+    tb.train(300)
+    out = tb.render_to_cpu()
+    assert out.shape == (32, 32, 3)
+    err = np.abs(out - img).mean()
+    assert err < 0.1, err
+    assert tb.training_step == 300
+    # frame() advances extra-mode training too
+    assert tb.frame()
+    assert tb.training_step == 301
+
+
+def test_sdf_mode_through_facade():
+    import rnb_neus2_tpu.api as ngp
+    from tests.test_mesh import _sphere_vol
+    from rnb_neus2_tpu.mesh.marching import marching_cubes_grid
+    n = 24
+    V, F = marching_cubes_grid(_sphere_vol(n, 0.3), (0.5 / n,) * 3,
+                               1.0 / n, 0.0)
+    tb = ngp.Testbed(ngp.TestbedMode.Sdf)
+    tb.load_training_data((V, F))
+    tb.train(150)
+    iou = tb.calculate_iou(n_samples=4096)
+    assert iou > 0.6, iou
+
+
+def test_volume_mode_through_facade():
+    import rnb_neus2_tpu.api as ngp
+    ax = (np.arange(24) + 0.5) / 24
+    g = np.stack(np.meshgrid(ax, ax, ax, indexing="ij"), -1)
+    vol = np.exp(-40 * np.sum((g - 0.5) ** 2, -1)).astype(np.float32)
+    tb = ngp.Testbed(ngp.TestbedMode.Volume)
+    tb.load_training_data(vol)
+    tb.train(200)
+    assert tb.loss < 0.01, tb.loss

@@ -132,3 +132,76 @@ def test_occupancy_nonuniform_sampling_biases_to_occupied():
     expect = 1.0 - 0.95 ** 10
     assert abs(frac_biased - expect) < 0.08, (frac_biased, expect)
     assert frac_uniform < 0.1 < frac_biased
+
+
+# ---------------------------------------------------------------------------
+# multi-cascade occupancy (aabb_scale > 1)
+# ---------------------------------------------------------------------------
+
+def test_mip_from_pos_matches_reference_frexp():
+    from rnb_neus2_tpu.grid.occupancy import mip_from_pos
+    import math
+    pts = np.array([[0.5, 0.5, 0.5], [0.6, 0.5, 0.5], [0.9, 0.5, 0.5],
+                    [1.4, 0.5, 0.5], [2.4, 0.5, 0.5], [-1.3, 0.5, 0.5]],
+                   np.float32)
+    got = np.asarray(mip_from_pos(jnp.asarray(pts), 7))
+
+    def ref(p):
+        maxval = max(abs(c - 0.5) for c in p)
+        if maxval == 0:
+            return 0
+        _, e = math.frexp(maxval)
+        return min(7, max(0, e + 1))
+
+    want = [ref(p) for p in pts]
+    np.testing.assert_array_equal(got, want)
+
+
+def test_cascaded_march_samples_beyond_unit_cube():
+    """aabb_scale=4 scene: a ray through an occupied region outside the
+    unit cube must produce samples there (reference cascade DDA,
+    testbed_nerf.cu:755-790)."""
+    from rnb_neus2_tpu.grid import occupancy
+    from rnb_neus2_tpu.ops import ray_march
+
+    g, C = 32, 3          # cascades cover side 1, 2, 4
+    state = occupancy.init_state_cascaded(g, C)
+    # occupy everything in every cascade
+    dens = jnp.ones((C, g ** 3), jnp.float32)
+    state = occupancy.update_cascaded(state, dens, g)
+    assert bool(state.bitfield.all())
+
+    # ray starting outside the unit cube traversing x at y=z=1.2 (only
+    # inside the aabb_scale=4 box)
+    o = jnp.asarray([[-1.2, 1.2, 1.2]])
+    d = jnp.asarray([[1.0, 0.0, 0.0]])
+    m = ray_march.march(o, d, state.bitfield, jnp.asarray([0.5]),
+                        n_ladder=512, max_samples=256, cone_angle=1e-2,
+                        aabb_scale=4.0)
+    assert int(m.n_valid[0]) > 50
+    pos = np.asarray(o[0] + m.t[0][:, None] * d[0])[np.asarray(m.valid[0])]
+    # every sample lies outside the unit cube (x < 0 at the march start,
+    # y = 1.2 throughout) yet inside the aabb_scale=4 box
+    assert (pos[:, 0] < 0.0).any()
+    assert np.allclose(pos[:, 1], 1.2)
+    assert (np.abs(pos - 0.5) <= 2.0).all()
+
+
+def test_cascade_maxpool_propagates_fine_occupancy():
+    from rnb_neus2_tpu.grid import occupancy
+    g, C = 16, 2
+    state = occupancy.init_state_cascaded(g, C)
+    dens = np.zeros((C, g ** 3), np.float32)
+    # occupy one fine cell at the center region of mip 0
+    ix = (g // 2) + g * ((g // 2) + g * (g // 2))
+    dens[0, ix] = 10.0
+    state = occupancy.update_cascaded(state, jnp.asarray(dens), g)
+    b0 = np.asarray(state.bitfield[0])
+    b1 = np.asarray(state.bitfield[1]).reshape(g, g, g)
+    assert b0[ix]
+    # the pooled bit lands in mip 1's central eighth
+    q = g // 4
+    assert b1[q:3 * q + g // 4, q:, q:].any()
+    # specifically at (g/4 + g/4, ...) = pooled coords
+    px = q + (g // 2) // 2
+    assert b1[px, px, px]
