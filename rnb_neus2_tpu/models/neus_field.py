@@ -176,26 +176,27 @@ class NeusField:
         f32 = jnp.float32
         dot = lambda a, b: jnp.dot(a.astype(cd), b.astype(cd),
                                    preferred_element_type=f32)
-        ein = lambda eq, a, b: jnp.einsum(eq, a.astype(cd), b.astype(cd),
-                                          preferred_element_type=f32)
         w_x, w_enc = params["sdf_mlp"][0]
         pre = dot(x - 0.5, w_x.T) + dot(enc, w_enc.T)
         h = jax.nn.relu(pre)
-        # position-jacobian of the first hidden layer: (N, H, 3)
         act = (pre > 0).astype(h.dtype)
-        jh = act[:, :, None] * (w_x[None, :, :].astype(f32)
-                                + ein("hf,nfd->nhd", w_enc, jac))
+        # position-jacobian of the first hidden layer, one flat (N, H)
+        # array per spatial dim (a (N, H, 3) tensor wastes ~95% of the
+        # (8,128) vector tiles and forces layout copies; 3 clean matmuls
+        # keep the whole chain on the MXU). jac: 3-tuple of (N, L·F).
+        jh = [act * (w_x[None, :, d].astype(f32) + dot(jac[d], w_enc.T))
+              for d in range(3)]
         # chain through remaining layers
         rest = params["sdf_mlp"][1:]
         for wl in rest[:-1]:
             pre = dot(h, wl.T)
             act = (pre > 0).astype(h.dtype)
             h = jax.nn.relu(pre)
-            jh = act[:, :, None] * ein("oh,nhd->nod", wl, jh)
+            jh = [act * dot(j, wl.T) for j in jh]
         w_out = rest[-1]
         feats = dot(h, w_out.T)
         sdf = feats[:, 0] + self.net.sdf_bias
-        grad = ein("h,nhd->nd", w_out[0], jh)
+        grad = jnp.stack([dot(j, w_out[0]) for j in jh], axis=-1)
         return sdf, grad, feats
 
     # -- full field ---------------------------------------------------------

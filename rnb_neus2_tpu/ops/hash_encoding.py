@@ -208,8 +208,13 @@ def encode_with_jacobian(table: jnp.ndarray, positions: jnp.ndarray,
                          valid_level: jnp.ndarray | int | None = None):
     """Encode AND the analytic position-jacobian from one gather.
 
-    Returns (features (N, L·F), jac (N, L·F, 3)) where
-    jac[n, lf, d] = ∂ features[n, lf] / ∂ x[n, d].
+    Returns (features (N, L·F), jac = 3-tuple of (N, L·F)) with
+    jac[d][n, lf] = ∂ features[n, lf] / ∂ x[n, d]. THREE SEPARATE 2-D
+    arrays matter on TPU: a (N, L, F, 3) tensor has a 6-lane minor
+    footprint in (8,128) tiles (≈5% lane utilization) and forces layout
+    copies/casts measured ~60 ms/step, and even a single (N, 3·L·F)
+    concat gets canonicalized back to the 4-D form by XLA; separate
+    arrays keep every consumer a clean 2-D matmul.
 
     Within a cell the gathered corner features are constants, so the
     jacobian is exact: d/dx of the trilinear weights times the SAME corner
@@ -220,12 +225,13 @@ def encode_with_jacobian(table: jnp.ndarray, positions: jnp.ndarray,
     """
     cfg = static.cfg
     L = cfg.n_levels
+    F = cfg.n_features_per_level
     n = positions.shape[0]
     corners = jnp.asarray(_CORNERS)                        # (8, 3)
     corn = corners[None, :, :]                             # (1, 8, 3)
 
     tables = level_tables(table, static, L)
-    outs, jacs = [], []
+    outs, jacs = [], [[], [], []]
     for lvl in range(L):
         scale = float(static.scales[lvl])
         res = jnp.int32(int(static.resolutions[lvl]))
@@ -243,24 +249,22 @@ def encode_with_jacobian(table: jnp.ndarray, positions: jnp.ndarray,
         wd = jnp.where(corn > 0, frac[:, None, :], 1.0 - frac[:, None, :])
         sd = jnp.where(corn > 0, 1.0, -1.0)                # dwd/dfrac sign
         w = wd[..., 0] * wd[..., 1] * wd[..., 2]           # (N, 8)
-        dw = jnp.stack([
-            sd[..., 0] * wd[..., 1] * wd[..., 2],
-            wd[..., 0] * sd[..., 1] * wd[..., 2],
-            wd[..., 0] * wd[..., 1] * sd[..., 2],
-        ], axis=-1)                                        # (N, 8, 3)
-
         outs.append(jnp.einsum("ncf,nc->nf", feats, w))
-        # dfrac/dx = scale
-        jacs.append(jnp.einsum("ncf,ncd->nfd", feats, dw) * scale)
+        dws = (sd[..., 0] * wd[..., 1] * wd[..., 2],
+               wd[..., 0] * sd[..., 1] * wd[..., 2],
+               wd[..., 0] * wd[..., 1] * sd[..., 2])       # 3 × (N, 8)
+        for d in range(3):
+            # dfrac/dx = scale
+            jacs[d].append(jnp.einsum("ncf,nc->nf", feats, dws[d]) * scale)
 
-    out = jnp.stack(outs, axis=1)                          # (N, L, F)
-    jac = jnp.stack(jacs, axis=1)                          # (N, L, F, 3)
     if valid_level is not None:
-        mask = (jnp.arange(L) < valid_level).astype(out.dtype)
-        out = out * mask[None, :, None]
-        jac = jac * mask[None, :, None, None]
-    F = cfg.n_features_per_level
-    return out.reshape(n, L * F), jac.reshape(n, L * F, 3)
+        mask = (jnp.arange(L) < valid_level).astype(outs[0].dtype)
+        outs = [o * mask[lvl] for lvl, o in enumerate(outs)]
+        for d in range(3):
+            jacs[d] = [j * mask[lvl] for lvl, j in enumerate(jacs[d])]
+    out = jnp.concatenate(outs, axis=1)                    # (N, L·F)
+    jac = tuple(jnp.concatenate(jacs[d], axis=1) for d in range(3))
+    return out, jac
 
 
 def _corner_flat_offsets(res: int):
@@ -414,21 +418,24 @@ def make_encode_with_jacobian_cv(static: HashGridStatic,
     def fwd_math(table, positions, level_mask):
         n = positions.shape[0]
         tables = level_tables(table, static, La)
-        outs, jacs = [], []
+        outs, jacs = [], [[], [], []]
         for lvl in range(La):
             idx, w, dw, scale = _level_indices_weights(positions, static,
                                                        lvl)
             feats = tables[lvl][idx]
-            outs.append(jnp.einsum("ncf,nc->nf", feats, w))
-            jacs.append(jnp.einsum("ncf,ncd->nfd", feats, dw) * scale)
-        out = jnp.stack(outs, axis=1) * level_mask[None, :La, None]
-        jac = jnp.stack(jacs, axis=1) * level_mask[None, :La, None, None]
+            m = level_mask[lvl]
+            outs.append(jnp.einsum("ncf,nc->nf", feats, w) * m)
+            for d in range(3):
+                jacs[d].append(
+                    jnp.einsum("ncf,nc->nf", feats, dw[..., d]) * (scale * m))
         if La < L:
-            out = jnp.concatenate(
-                [out, jnp.zeros((n, L - La, F), out.dtype)], axis=1)
-            jac = jnp.concatenate(
-                [jac, jnp.zeros((n, L - La, F, 3), jac.dtype)], axis=1)
-        return out.reshape(n, L * F), jac.reshape(n, L * F, 3)
+            z = jnp.zeros((n, (L - La) * F), outs[0].dtype)
+            outs.append(z)
+            for d in range(3):
+                jacs[d].append(z)
+        # jac = 3-tuple of (N, L·F) — see encode_with_jacobian
+        return (jnp.concatenate(outs, axis=1),
+                tuple(jnp.concatenate(jacs[d], axis=1) for d in range(3)))
 
     @jax.custom_vjp
     def enc(table, positions, level_mask):
@@ -446,7 +453,9 @@ def make_encode_with_jacobian_cv(static: HashGridStatic,
         g_out, g_jac = cot
         n = g_out.shape[0]
         g_out = g_out.reshape(n, L, F) * level_mask[None, :, None]
-        g_jac = g_jac.reshape(n, L, F, 3) * level_mask[None, :, None, None]
+        # g_jac: 3-tuple of (N, L·F); kept separate (2-D layouts)
+        g_jac = [g.reshape(n, L, F) * level_mask[None, :, None]
+                 for g in g_jac]
         # per-level gradient formulation (all exact; picked by measured
         # v5e cost — see DESIGN.md "Kernel war, round 2"):
         #   mxu    — one-hot MXU contraction, small dense levels
@@ -462,8 +471,10 @@ def make_encode_with_jacobian_cv(static: HashGridStatic,
                                                        lvl)
             flat_idx = idx.reshape(-1)
             size = int(static.table_sizes[lvl])
-            cf = (w[:, :, None] * g_out[:, lvl][:, None, :]
-                  + scale * jnp.einsum("ncd,nfd->ncf", dw, g_jac[:, lvl]))
+            cf = w[:, :, None] * g_out[:, lvl][:, None, :]
+            for d in range(3):
+                cf = cf + (scale * dw[..., d])[:, :, None] \
+                    * g_jac[d][:, lvl][:, None, :]
             mode = _bwd_formulation(static, lvl, on_tpu)
             if mode == "mxu":
                 pieces.append(grad_onehot_mxu(flat_idx, cf.reshape(-1, F),

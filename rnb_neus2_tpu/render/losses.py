@@ -15,8 +15,9 @@ second-order path through ∇sdf). Scaling notes, verified against the kernel:
   :1833 — LOSS_SCALE cancels in the fp32 rebuild);
 - the eikonal term is NOT divided by n_rays and NOT averaged over samples
   (rows 4-6 of dL/doutput use the undivided scale, :2039-2047);
-- the color loss logged is additionally divided by the sampling pdf while
-  its GRADIENT is not (:1782-1801 comment block) — we mirror that split;
+- neither the gradient nor the logged loss is divided by the sampling pdf
+  (the fork comments the upstream divide out, :1780-1790); the raw per-ray
+  loss is what the error map splats (:1802-1831);
 - "RGB+": a 4th albedo channel 3−Σ|a| (L1) or √(3−Σa²) (L2) and the loss
   halved (:1523-1535, :1749-1752);
 - albedo activation = exp(clamp(x, −10, 10)) — ENerfActivation::Exponential,
@@ -191,8 +192,9 @@ def training_loss(field_out: Dict[str, jnp.ndarray], samples, batch: RayBatch,
     # ---- color ------------------------------------------------------------
     color = color_loss_fn(pred4, target4, flags) * batch.mask_color \
         * ray_alive
-    # logged value divided by pdf, gradient not (testbed_nerf.cu:1782-1801)
-    color_logged = jax.lax.stop_gradient(color) / jnp.maximum(batch.pdf, 1e-12)
+    # no pdf division anywhere — the fork keeps the importance weighting in
+    # both the gradient and the logged loss (testbed_nerf.cu:1780-1790)
+    color_logged = jax.lax.stop_gradient(color)
 
     # ---- mask --------------------------------------------------------------
     mask = mask_losses(weight_sum, batch.mask_gt.astype(jnp.float32), flags) \
@@ -211,8 +213,8 @@ def training_loss(field_out: Dict[str, jnp.ndarray], samples, batch: RayBatch,
 
     n_kept = jnp.sum(keep)
     metrics = {
-        # per-ray pdf-divided loss, splatted into the error map by the
-        # trainer (the reference deposits exactly this mean_loss,
+        # raw per-ray loss, splatted into the error map by the trainer
+        # (the reference deposits exactly this mean_loss,
         # testbed_nerf.cu:1802-1831); popped before scalar logging
         "_per_ray_color_logged": color_logged,
         "loss_color": jnp.sum(color_logged) / n_rays,

@@ -156,3 +156,157 @@ def write_prepared_scene(out_dir, n_views: int = 8, width: int = 48,
     with open(os.path.join(out_dir, "transform.json"), "w") as f:
         json.dump(tj, f)
     return out_dir
+
+
+# ---------------------------------------------------------------------------
+# Composite analytic scene (sphere ∪ torus ∪ rounded box)
+# ---------------------------------------------------------------------------
+# A nontrivial stand-in for the reference's multi-object validation scenes
+# (DiLiGenT-MV-style: 20 ring views, per-view normal+albedo maps, masks).
+# Analytic SDF → exact GT surface for Chamfer-L1 (mesh/metrics.py).
+
+
+def composite_sdf(p: np.ndarray) -> np.ndarray:
+    """(..., 3) → (...) SDF of the union scene, exact enough for GT use."""
+    p = np.asarray(p, np.float32)
+    # sphere
+    d1 = np.linalg.norm(p - np.array([0.50, 0.54, 0.56], np.float32),
+                        axis=-1) - 0.14
+    # torus, axis = z, centered slightly low
+    q = p - np.array([0.50, 0.46, 0.40], np.float32)
+    qxy = np.linalg.norm(q[..., :2], axis=-1) - 0.17
+    d2 = np.sqrt(qxy * qxy + q[..., 2] * q[..., 2]) - 0.055
+    # rounded box
+    b = np.abs(p - np.array([0.52, 0.62, 0.40], np.float32)) \
+        - np.array([0.10, 0.055, 0.045], np.float32)
+    d3 = (np.linalg.norm(np.maximum(b, 0.0), axis=-1)
+          + np.minimum(np.max(b, axis=-1), 0.0)) - 0.02
+    return np.minimum(np.minimum(d1, d2), d3)
+
+
+def composite_normal(p: np.ndarray, eps: float = 1e-4) -> np.ndarray:
+    """Central-difference normal of composite_sdf, normalized."""
+    p = np.asarray(p, np.float32)
+    g = np.stack([
+        composite_sdf(p + np.eye(3, dtype=np.float32)[d] * eps)
+        - composite_sdf(p - np.eye(3, dtype=np.float32)[d] * eps)
+        for d in range(3)], axis=-1)
+    return g / np.maximum(np.linalg.norm(g, axis=-1, keepdims=True), 1e-12)
+
+
+def composite_albedo(p: np.ndarray) -> np.ndarray:
+    """Smoothly varying per-component albedo (texture for the RGB loss)."""
+    p = np.asarray(p, np.float32)
+    base = np.stack([
+        0.55 + 0.25 * np.sin(14.0 * p[..., 0]),
+        0.45 + 0.25 * np.sin(11.0 * p[..., 1] + 1.3),
+        0.50 + 0.30 * np.sin(9.0 * p[..., 2] + 2.1)], axis=-1)
+    return np.clip(base, 0.05, 1.0).astype(np.float32)
+
+
+def render_composite_views(cams: Cameras, max_iters: int = 96):
+    """Sphere-traced analytic render → (normals_cam, albedo, alphas)."""
+    W, H = cams.resolution
+    n_views = cams.rot_c2w.shape[0]
+    rots = np.asarray(cams.rot_c2w)
+    origins = np.asarray(cams.origin)
+    focal = np.asarray(cams.focal)
+    pp = np.asarray(cams.principal)
+    u = (np.arange(W) + 0.5) / W
+    v = (np.arange(H) + 0.5) / H
+    uu, vv = np.meshgrid(u, v)
+
+    normals = np.zeros((n_views, H, W, 3), np.float32)
+    albedo = np.zeros((n_views, H, W, 3), np.float32)
+    alphas = np.zeros((n_views, H, W), np.float32)
+    for i in range(n_views):
+        d_cam = np.stack([
+            (uu - pp[i, 0]) * W / focal[i, 0],
+            (vv - pp[i, 1]) * H / focal[i, 1],
+            np.ones_like(uu)], axis=-1)
+        d = d_cam @ rots[i].T
+        d /= np.linalg.norm(d, axis=-1, keepdims=True)
+        d = d.reshape(-1, 3)
+        o = origins[i][None, :]
+        t = np.full((d.shape[0],), 0.05, np.float32)
+        alive = np.ones_like(t, bool)
+        for _ in range(max_iters):
+            s = composite_sdf(o + t[:, None] * d)
+            hit_now = s < 5e-5
+            t = np.where(alive & ~hit_now, t + np.maximum(s, 1e-4), t)
+            alive &= t < 3.0
+        s = composite_sdf(o + t[:, None] * d)
+        hit = (s < 2e-3) & (t < 3.0)
+        p = o + t[:, None] * d
+        n_world = composite_normal(p)
+        n_cam = np.einsum("nd,dk->nk", n_world, rots[i])
+        normals[i] = np.where(hit[:, None], n_cam,
+                              np.array([-1.0, 1.0, 1.0]) / np.sqrt(3.0)
+                              ).reshape(H, W, 3)
+        albedo[i] = (composite_albedo(p) * hit[:, None]).reshape(H, W, 3)
+        alphas[i] = hit.astype(np.float32).reshape(H, W)
+    return normals, albedo, alphas
+
+
+def composite_dataset(n_views: int = 20, width: int = 512, height: int = 612,
+                      cam_radius: float = 1.6,
+                      focal: float = 900.0) -> TrainingDataset:
+    cams = ring_cameras(n_views, cam_radius, width, height, focal)
+    normals, albedo, alphas = render_composite_views(cams)
+    return build_dataset(cams, normals, albedo, alphas, alphas, SceneMeta())
+
+
+def composite_gt_mesh(resolution: int = 384):
+    """GT mesh of the analytic scene via table marching cubes."""
+    from ..mesh.marching import marching_cubes_grid
+
+    ax = np.linspace(0.0, 1.0, resolution + 1, dtype=np.float32)
+    X, Y, Z = np.meshgrid(ax, ax, ax, indexing="ij")
+    vol = composite_sdf(np.stack([X, Y, Z], axis=-1))
+    return marching_cubes_grid(-vol, (0.0, 0.0, 0.0), 1.0 / resolution, 0.0)
+
+
+def write_prepared_composite_scene(out_dir, n_views: int = 20,
+                                   width: int = 512, height: int = 612,
+                                   cam_radius: float = 1.6,
+                                   focal: float = 900.0):
+    """Materialize the composite scene as a prepared directory
+    (transform.json + 16-bit RGBA normal/albedo PNGs), the exact input
+    contract of the reference's stage-1 testbed (SURVEY §2.1)."""
+    import json
+    import os
+
+    from ..io import image_io
+
+    cams = ring_cameras(n_views, cam_radius, width, height, focal)
+    normals, albedo, alphas = render_composite_views(cams)
+    os.makedirs(os.path.join(out_dir, "normals"), exist_ok=True)
+    os.makedirs(os.path.join(out_dir, "albedos"), exist_ok=True)
+    frames = []
+    rots = np.asarray(cams.rot_c2w)
+    origins = np.asarray(cams.origin)
+    for i in range(n_views):
+        stored = normals[i] * np.array([1.0, -1.0, -1.0])
+        png = np.concatenate([(stored + 1.0) / 2.0, alphas[i][..., None]],
+                             axis=-1)
+        name = f"{i:05d}.png"
+        image_io.save_image(png, os.path.join(out_dir, "normals", name), 16)
+        image_io.save_image(
+            np.concatenate([albedo[i], alphas[i][..., None]], axis=-1),
+            os.path.join(out_dir, "albedos", name), 16)
+        c2w = np.eye(4)
+        c2w[:3, :3] = rots[i]
+        c2w[:3, 3] = (origins[i] - 0.5) / 0.5
+        K = np.eye(4)
+        K[0, 0] = K[1, 1] = focal
+        K[0, 2], K[1, 2] = width / 2.0, height / 2.0
+        frames.append({"albedo_path": f"albedos/{name}",
+                       "normal_path": f"normals/{name}",
+                       "transform_matrix": c2w.tolist(),
+                       "intrinsic_matrix": K.tolist()})
+    tj = {"w": width, "h": height, "aabb_scale": 1.0, "scale": 0.5,
+          "offset": [0.5, 0.5, 0.5], "from_na": True,
+          "n2w": np.eye(4).tolist(), "frames": frames}
+    with open(os.path.join(out_dir, "transform.json"), "w") as f:
+        json.dump(tj, f)
+    return out_dir

@@ -13,11 +13,21 @@ rebuild) the maps become sampling CDFs:
 - resolution = min(image res, ceil(√√(samples_per_image))·3.5)
   (testbed.cu:3642-3644).
 
-Sampling inverts the CDFs per ray (uniform within the chosen texel — the
-reference linearly interpolates the CDF, a piecewise-linear vs our
-piecewise-constant pdf within one error-map texel; documented divergence).
-The per-ray pdf divides the LOGGED loss only (the gradient keeps the
-importance weighting, testbed_nerf.cu:1782-1801).
+Sampling mirrors sample_cdf_2d (testbed_nerf.cu:1115-1148) exactly:
+
+- with probability UNIFORM_SAMPLING_FRACTION = 0.5 (on u_x) the pixel is
+  drawn uniformly, ignoring the CDFs (the rescaled residual of u covers
+  the texel);
+- otherwise CDF inversion per axis, where the intra-texel position is the
+  rescaled residual (u − cdf[i−1]) / pmf_i — i.e. a piecewise-constant
+  pdf per texel (NOT an interpolated CDF);
+- the image index always comes from cdf_img (image_idx, :1194-1206).
+
+The NeuS2 fork does NOT divide either the gradient or the logged loss by
+the sampling pdf (testbed_nerf.cu:1780-1790, the upstream divide is
+commented out), and splats the raw per-ray loss into the error map; the
+pdf returned here is the reference's pdf_2d mixture density, kept for
+diagnostics only.
 """
 
 from __future__ import annotations
@@ -30,6 +40,9 @@ import jax.numpy as jnp
 import numpy as np
 
 MIN_IMG_PMF = 0.1
+# fraction of rays whose pixel is drawn uniformly instead of from the
+# error-map CDF (sample_cdf_2d, testbed_nerf.cu:1115)
+UNIFORM_SAMPLING_FRACTION = 0.5
 
 
 class ErrorMapState(NamedTuple):
@@ -98,37 +111,62 @@ def rebuild(state: ErrorMapState) -> ErrorMapState:
 
 
 def sample(state: ErrorMapState, key: jax.Array, n_rays: int):
-    """→ (img (R,), xy (R,2) in [0,1)², pdf (R,)) by CDF inversion; falls
-    back to the stratified-uniform scheme until the first rebuild."""
+    """→ (img (R,), xy (R,2) in [0,1)², pdf (R,)): sample_cdf_2d
+    (testbed_nerf.cu:1115-1148) vectorized; falls back to the
+    stratified-uniform scheme until the first rebuild."""
     n, eh, ew = state.accum.shape
-    k_i, k_y, k_x, k_u = jax.random.split(key, 4)
+    k_i, k_y, k_x = jax.random.split(key, 3)
     u_img = jax.random.uniform(k_i, (n_rays,))
     u_y = jax.random.uniform(k_y, (n_rays,))
     u_x = jax.random.uniform(k_x, (n_rays,))
-    jit_xy = jax.random.uniform(k_u, (n_rays, 2))
 
     img_is = jnp.searchsorted(state.cdf_img, u_img).astype(jnp.int32)
     img_is = jnp.minimum(img_is, n - 1)
+
+    # uniform branch (u_x < 0.5): pixel uniform, residual covers the texel
+    uniform = u_x < UNIFORM_SAMPLING_FRACTION
+    ux_uni = u_x / UNIFORM_SAMPLING_FRACTION
+    ux_cdf = (u_x - UNIFORM_SAMPLING_FRACTION) \
+        / (1.0 - UNIFORM_SAMPLING_FRACTION)
+
     rows_cdf = state.cdf_y[img_is]                          # (R, EH)
     y_idx = jax.vmap(jnp.searchsorted)(rows_cdf, u_y).astype(jnp.int32)
     y_idx = jnp.minimum(y_idx, eh - 1)
     x_cdf = state.cdf_x[img_is, y_idx]                      # (R, EW)
-    x_idx = jax.vmap(jnp.searchsorted)(x_cdf, u_x).astype(jnp.int32)
+    x_idx = jax.vmap(jnp.searchsorted)(x_cdf, ux_cdf).astype(jnp.int32)
     x_idx = jnp.minimum(x_idx, ew - 1)
 
-    xy_is = jnp.stack([(x_idx + jit_xy[:, 0]) / ew,
-                       (y_idx + jit_xy[:, 1]) / eh], axis=1)
-    # piecewise-constant pdf of the drawn texel
-    pmf_x = x_cdf[jnp.arange(n_rays), x_idx] - jnp.where(
-        x_idx > 0, x_cdf[jnp.arange(n_rays), x_idx - 1], 0.0)
-    pmf_y = rows_cdf[jnp.arange(n_rays), y_idx] - jnp.where(
-        y_idx > 0, rows_cdf[jnp.arange(n_rays), y_idx - 1], 0.0)
-    pdf_is = (state.pmf_img[img_is] * n) * (pmf_y * eh) * (pmf_x * ew)
+    ar = jnp.arange(n_rays)
+    cy_prev = jnp.where(y_idx > 0, rows_cdf[ar, jnp.maximum(y_idx - 1, 0)],
+                        0.0)
+    pmf_y = rows_cdf[ar, y_idx] - cy_prev
+    cx_prev = jnp.where(x_idx > 0, x_cdf[ar, jnp.maximum(x_idx - 1, 0)],
+                        0.0)
+    pmf_x = x_cdf[ar, x_idx] - cx_prev
+    # intra-texel position = rescaled inversion residual (:1130-1141)
+    ry = jnp.clip((u_y - cy_prev) / jnp.maximum(pmf_y, 1e-12), 0.0, 1.0)
+    rx = jnp.clip((ux_cdf - cx_prev) / jnp.maximum(pmf_x, 1e-12), 0.0, 1.0)
+    xy_cdf = jnp.stack([(x_idx + rx) / ew, (y_idx + ry) / eh], axis=1)
+    xy_is = jnp.where(uniform[:, None],
+                      jnp.stack([ux_uni, u_y], axis=1), xy_cdf)
+    # mixture density at the RETURNED pixel (pdf_2d, :1150-1169) × image
+    # pmf — diagnostics only (the loss uses no pdf division)
+    tx = jnp.clip((xy_is[:, 0] * ew).astype(jnp.int32), 0, ew - 1)
+    ty = jnp.clip((xy_is[:, 1] * eh).astype(jnp.int32), 0, eh - 1)
+    pmf_y_at = rows_cdf[ar, ty] - jnp.where(
+        ty > 0, rows_cdf[ar, jnp.maximum(ty - 1, 0)], 0.0)
+    x_cdf_at = state.cdf_x[img_is, ty]                      # (R, EW)
+    pmf_x_at = x_cdf_at[ar, tx] - jnp.where(
+        tx > 0, x_cdf_at[ar, jnp.maximum(tx - 1, 0)], 0.0)
+    pdf_is = (state.pmf_img[img_is] * n) * (
+        UNIFORM_SAMPLING_FRACTION
+        + (pmf_y_at * eh) * (pmf_x_at * ew)
+        * (1.0 - UNIFORM_SAMPLING_FRACTION))
 
     # uniform fallback (pre-first-rebuild): stratified images, uniform xy
     img_u = ((jnp.arange(n_rays) * n) // n_rays).astype(jnp.int32)
     use_is = state.valid
     img = jnp.where(use_is, img_is, img_u)
-    xy = jnp.where(use_is, xy_is, jit_xy)
+    xy = jnp.where(use_is, xy_is, jnp.stack([u_x, u_y], axis=1))
     pdf = jnp.where(use_is, pdf_is, 1.0)
     return img, xy, pdf

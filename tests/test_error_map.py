@@ -27,16 +27,43 @@ def test_sampling_follows_error_distribution():
     st = em.splat(st, img, xy, jnp.ones((64,)))
     st = em.rebuild(st)
     assert bool(st.valid)
-    imgs, xys, pdf = em.sample(st, jax.random.PRNGKey(0), 4096)
+    imgs, xys, pdf = em.sample(st, jax.random.PRNGKey(0), 8192)
     imgs, xys, pdf = map(np.asarray, (imgs, xys, pdf))
     # image 0 sampled at (1−MIN_PMF) + MIN_PMF/2 ≈ 0.95
     assert abs((imgs == 0).mean() - 0.95) < 0.03
     sel = imgs == 0
     tex = np.floor(xys[sel] * 4).astype(int)
     hot = (tex[:, 0] == 1) & (tex[:, 1] == 2)
-    assert hot.mean() > 0.95
-    # pdf of the hot texel ≈ n_img·pmf_img × 16·(≈1) ≈ 2·0.95·16
+    # sample_cdf_2d (testbed_nerf.cu:1115): half the draws are uniform
+    # (hot texel at pmf 1/16 within that half), half follow the CDF (all
+    # on the hot texel) → expect ≈ 0.5·(1/16) + 0.5 ≈ 0.53
+    assert abs(hot.mean() - 0.53) < 0.04
+    # mixture density at the hot texel ≈ n·pmf_img·(0.5 + 0.5·16·1) ≈ 16
     assert np.all(pdf[sel][hot] > 10)
+    # off-texel samples exist and carry the uniform floor density
+    cold = ~hot
+    assert cold.mean() > 0.4
+    assert np.all(pdf[sel][cold] > 0.5 * 0.95 * 2 - 1e-3)
+
+
+def test_uniform_mixture_covers_whole_image():
+    """With prob 0.5 pixels ignore the CDF entirely (sample_cdf_2d), so
+    even a maximally peaked error map leaves ~uniform coverage."""
+    st = em.init_state(1, ew=8, eh=8)
+    img = jnp.zeros((128,), jnp.int32)
+    xy = jnp.tile(jnp.array([[0.0625, 0.0625]]), (128, 1))
+    st = em.rebuild(em.splat(st, img, xy, jnp.full((128,), 100.0)))
+    _, xys, _ = em.sample(st, jax.random.PRNGKey(2), 16384)
+    xys = np.asarray(xys)
+    hot = (xys[:, 0] < 0.125) & (xys[:, 1] < 0.125)
+    # uniform half spreads 1/64 per texel; CDF half is all-hot
+    assert abs(hot.mean() - (0.5 + 0.5 / 64)) < 0.02
+    # every quadrant of the image still gets samples
+    for qx in (0, 1):
+        for qy in (0, 1):
+            q = ((xys[:, 0] >= 0.5 * qx) & (xys[:, 0] < 0.5 * (qx + 1))
+                 & (xys[:, 1] >= 0.5 * qy) & (xys[:, 1] < 0.5 * (qy + 1)))
+            assert q.mean() > 0.08
 
 
 def test_uniform_fallback_before_first_rebuild():

@@ -117,8 +117,8 @@ def _bwd_oracle_vs_mode(mode, monkeypatch, n=257):
     x = jax.random.uniform(jax.random.PRNGKey(4), (n, 3))
     cot_f = jax.random.normal(jax.random.PRNGKey(5),
                               (n, cfg.output_dim))
-    cot_j = jax.random.normal(jax.random.PRNGKey(6),
-                              (n, cfg.output_dim, 3))
+    cot_j = tuple(jax.random.normal(jax.random.PRNGKey(6 + d),
+                                    (n, cfg.output_dim)) for d in range(3))
 
     def grad_for(mode_name):
         monkeypatch.setattr(he, "_SCATTER_MODE", mode_name)
@@ -126,7 +126,8 @@ def _bwd_oracle_vs_mode(mode, monkeypatch, n=257):
 
         def loss(t):
             f, j = he_fn(t, x)
-            return jnp.vdot(f, cot_f) + jnp.vdot(j, cot_j)
+            return jnp.vdot(f, cot_f) + sum(
+                jnp.vdot(j[d], cot_j[d]) for d in range(3))
         return jax.grad(loss)(table)
 
     g_ref = grad_for("width1")
