@@ -215,6 +215,13 @@ class TrainConfig:
     # fractional training (--fractional-training): after this step only SDF
     # (density MLP + hash grid + variance) params keep updating
     fractional_from_step: Optional[int] = None
+    # salt folded into the per-ray light-choice PRNG stream only. The
+    # reference draws the light index with curand(clock64()) — a
+    # NON-deterministic stream (testbed_nerf.cu light pick) — so any
+    # counter-based stream is a documented divergence; varying this salt
+    # A/B-quantifies the divergence's effect on the loss trajectory
+    # (tests/test_train_e2e.py::test_light_prng_divergence_within_noise).
+    light_prng_salt: int = 0
 
 
 @dataclasses.dataclass(frozen=True)

@@ -138,8 +138,12 @@ def encode(table: jnp.ndarray, positions: jnp.ndarray,
 
     # statically unrolled per-level loop gathering from PER-LEVEL table
     # slices (≤2^19 rows each) — measurably faster than indexing the
-    # monolithic table (see level_tables)
+    # monolithic table (see level_tables); dense levels fetch all 8
+    # corners with one rows-of-16 gather from a corner-redundant buffer
+    # (see dense_corner_tables)
     tables = level_tables(table, static, La)
+    nbs = dense_corner_tables(tables, static, La)
+    F = cfg.n_features_per_level
     outs = []
     for lvl in range(La):
         scale = float(static.scales[lvl])
@@ -150,9 +154,14 @@ def encode(table: jnp.ndarray, positions: jnp.ndarray,
         p = positions * scale + 0.5
         p0 = jnp.floor(p)
         frac = p - p0
-        cpos = p0.astype(jnp.int32)[:, None, :] + corners[None, :, :]  # (N,8,3)
-        idx = _corner_indices(cpos, res, tsize, hashed)                # (N,8)
-        feats = tables[lvl][idx]                           # (N, 8, F)
+        if lvl in nbs:
+            d0 = _base_dense_index(positions, static, lvl)
+            feats = nbs[lvl][d0].reshape(n, 8, F)          # (N, 8, F)
+        else:
+            cpos = p0.astype(jnp.int32)[:, None, :] \
+                + corners[None, :, :]                      # (N, 8, 3)
+            idx = _corner_indices(cpos, res, tsize, hashed)  # (N, 8)
+            feats = tables[lvl][idx]                       # (N, 8, F)
         w = jnp.prod(jnp.where(corners[None, :, :] > 0, frac[:, None, :],
                                1.0 - frac[:, None, :]), axis=-1)       # (N,8)
         outs.append(jnp.sum(feats * w[..., None], axis=1))  # (N, F)
@@ -176,6 +185,50 @@ def _level_constants(static: HashGridStatic, lvl: int):
             jnp.int32(int(static.table_sizes[lvl])),
             int(static.offsets[lvl]),
             jnp.int32(int(static.hashed[lvl])))
+
+
+def _level_corner_arrays(positions, static: HashGridStatic, lvl: int):
+    """Per-corner 1-D arrays for one level.
+
+    Returns (idx_cs, w_cs, dw_cs, scale):
+      idx_cs: list of 8 (N,) int32 table indices;
+      w_cs:   list of 8 (N,) trilinear weights;
+      dw_cs:  list of 8 3-tuples of (N,) weight-gradients wrt x (per dim).
+
+    EVERYTHING 1-D ON PURPOSE: (N,8)/(N,8,3)-shaped tensors put the tiny
+    dim in the 128-lane minor of the (8,128) TPU tile (16–42× padding —
+    a f32[2^18,8] buffer materializes as 128 MB) and reshapes across the
+    padded layout force copy fusions; per-corner (N,) vectors tile
+    perfectly and fuse into the gathers/scatters that consume them.
+    """
+    scale, res, tsize, _, _ = _level_constants(static, lvl)
+    hashed = bool(static.hashed[lvl])
+    p = positions * scale + 0.5
+    p0 = jnp.floor(p)
+    p0i = p0.astype(jnp.int32)
+    fr = p - p0
+    xs = [p0i[:, d] for d in range(3)]
+    fs = [fr[:, d] for d in range(3)]
+    ws = [(1.0 - fs[d], fs[d]) for d in range(3)]   # per dim: (w at 0, at 1)
+    idx_cs, w_cs, dw_cs = [], [], []
+    for c in _CORNERS:
+        cx, cy, cz = int(c[0]), int(c[1]), int(c[2])
+        if hashed:
+            ux = (xs[0] + cx).astype(jnp.uint32)
+            uy = (xs[1] + cy).astype(jnp.uint32)
+            uz = (xs[2] + cz).astype(jnp.uint32)
+            h = ux ^ (uy * jnp.uint32(_PRIMES[1])) \
+                ^ (uz * jnp.uint32(_PRIMES[2]))
+            idx_cs.append((h % tsize.astype(jnp.uint32)).astype(jnp.int32))
+        else:
+            dense = (xs[0] + cx) + (xs[1] + cy) * res \
+                + (xs[2] + cz) * res * res
+            idx_cs.append(dense % tsize)
+        wx, wy, wz = ws[0][cx], ws[1][cy], ws[2][cz]
+        sx, sy, sz = 2 * cx - 1, 2 * cy - 1, 2 * cz - 1
+        w_cs.append(wx * wy * wz)
+        dw_cs.append((sx * (wy * wz), sy * (wx * wz), sz * (wx * wy)))
+    return idx_cs, w_cs, dw_cs, scale
 
 
 def _level_indices_weights(positions, static: HashGridStatic, lvl: int):
@@ -273,6 +326,39 @@ def _corner_flat_offsets(res: int):
     return [int(c[0] + c[1] * res + c[2] * res * res) for c in _CORNERS]
 
 
+def dense_corner_tables(tables, static: HashGridStatic, n_levels: int):
+    """Corner-redundant buffers for the DENSE levels: lvl → (size, 8·F).
+
+    Column block c of row i holds table[(i + δ_c) % size] — built with 8
+    dense rolls (pure shifts, bandwidth-trivial at ≤0.7M total dense rows).
+    The forward then fetches all 8 corner features of a sample with ONE
+    rows-of-16 gather at its base-cell index instead of 8 rows-of-F
+    gathers: XLA's TPU gather is per-ROW bound (~4.4 ns/row, width mostly
+    free — measured, DESIGN.md "Kernel war, round 2"), so this cuts the
+    dense-level share of the 29M-row forward gather wall ~8×. Exact: roll
+    reproduces the oracle's modular dense indexing (grid.h:132-141 + the
+    % table_size wrap) bit-for-bit. Hashed levels have no such structure
+    (corners hash to unrelated rows) and keep per-corner gathers.
+    """
+    nbs = {}
+    for lvl in range(n_levels):
+        if int(static.hashed[lvl]):
+            continue
+        res = int(static.resolutions[lvl])
+        nbs[lvl] = jnp.concatenate(
+            [jnp.roll(tables[lvl], -off, axis=0)
+             for off in _corner_flat_offsets(res)], axis=1)
+    return nbs
+
+
+def _base_dense_index(positions, static: HashGridStatic, lvl: int):
+    """(N,) dense base-cell index (corner 0) for a dense level."""
+    scale, res, tsize, _, _ = _level_constants(static, lvl)
+    p0 = jnp.floor(positions * scale + 0.5).astype(jnp.int32)
+    dense = p0[:, 0] + p0[:, 1] * res + p0[:, 2] * res * res
+    return dense % tsize
+
+
 def grad_nbhd16(d0: jnp.ndarray, cf: jnp.ndarray, table_size: int,
                 res: int) -> jnp.ndarray:
     """Dense-level table gradient via ONE rows-of-16 scatter.
@@ -284,11 +370,12 @@ def grad_nbhd16(d0: jnp.ndarray, cf: jnp.ndarray, table_size: int,
     Measured on v5e: 3.7 ns/source-element vs 6.7 for width-1 scatters
     (the XLA scatter loop is per-row bound, so wide rows amortize).
 
-    d0: (N,) base-cell dense indices; cf: (N, 8, F) corner cotangents.
+    d0: (N,) base-cell dense indices; cf: (N, 8·F) corner cotangents
+    laid out corner-major ([c0f0, c0f1, c1f0, …], matching _CORNERS).
     """
-    n, _, F = cf.shape
+    F = cf.shape[1] // 8
     buf = jnp.zeros((table_size, 8 * F), cf.dtype)
-    buf = buf.at[d0].add(cf.reshape(n, 8 * F), mode="drop")
+    buf = buf.at[d0].add(cf, mode="drop")
     grad = jnp.zeros((table_size, F), cf.dtype)
     for c, off in enumerate(_corner_flat_offsets(res)):
         # corner entry = (d0 + off) % table_size — the roll reproduces the
@@ -416,26 +503,40 @@ def make_encode_with_jacobian_cv(static: HashGridStatic,
     La = min(L, n_active) if n_active else L
 
     def fwd_math(table, positions, level_mask):
+        # pure 1-D column construction (see _level_corner_arrays): the
+        # only ≥2-D intermediates are the gather outputs themselves
         n = positions.shape[0]
         tables = level_tables(table, static, La)
-        outs, jacs = [], [[], [], []]
+        nbs = dense_corner_tables(tables, static, La)
+        out_cols, jac_cols = [], [[], [], []]
         for lvl in range(La):
-            idx, w, dw, scale = _level_indices_weights(positions, static,
-                                                       lvl)
-            feats = tables[lvl][idx]
+            idx_cs, w_cs, dw_cs, scale = _level_corner_arrays(
+                positions, static, lvl)
             m = level_mask[lvl]
-            outs.append(jnp.einsum("ncf,nc->nf", feats, w) * m)
-            for d in range(3):
-                jacs[d].append(
-                    jnp.einsum("ncf,nc->nf", feats, dw[..., d]) * (scale * m))
+            if lvl in nbs:
+                # all 8 corners in ONE rows-of-16 gather (dense levels)
+                fl = nbs[lvl][idx_cs[0]]                     # (N, 8·F)
+                feats = [[fl[:, c * F + f] for f in range(F)]
+                         for c in range(8)]
+            else:
+                fcs = [tables[lvl][idx_cs[c]] for c in range(8)]
+                feats = [[fcs[c][:, f] for f in range(F)] for c in range(8)]
+            for f in range(F):
+                out_cols.append(
+                    sum(w_cs[c] * feats[c][f] for c in range(8)) * m)
+                for d in range(3):
+                    jac_cols[d].append(
+                        sum(dw_cs[c][d] * feats[c][f] for c in range(8))
+                        * (scale * m))
         if La < L:
-            z = jnp.zeros((n, (L - La) * F), outs[0].dtype)
-            outs.append(z)
-            for d in range(3):
-                jacs[d].append(z)
+            z = jnp.zeros((n,), jnp.float32)
+            for _ in range((L - La) * F):
+                out_cols.append(z)
+                for d in range(3):
+                    jac_cols[d].append(z)
         # jac = 3-tuple of (N, L·F) — see encode_with_jacobian
-        return (jnp.concatenate(outs, axis=1),
-                tuple(jnp.concatenate(jacs[d], axis=1) for d in range(3)))
+        return (jnp.stack(out_cols, axis=1),
+                tuple(jnp.stack(jac_cols[d], axis=1) for d in range(3)))
 
     @jax.custom_vjp
     def enc(table, positions, level_mask):
@@ -452,10 +553,6 @@ def make_encode_with_jacobian_cv(static: HashGridStatic,
         positions, level_mask, n_entries = saved
         g_out, g_jac = cot
         n = g_out.shape[0]
-        g_out = g_out.reshape(n, L, F) * level_mask[None, :, None]
-        # g_jac: 3-tuple of (N, L·F); kept separate (2-D layouts)
-        g_jac = [g.reshape(n, L, F) * level_mask[None, :, None]
-                 for g in g_jac]
         # per-level gradient formulation (all exact; picked by measured
         # v5e cost — see DESIGN.md "Kernel war, round 2"):
         #   mxu    — one-hot MXU contraction, small dense levels
@@ -464,38 +561,64 @@ def make_encode_with_jacobian_cv(static: HashGridStatic,
         #   width1 — per-feature width-1 scatters, hashed levels (the
         #            XLA per-element floor; corners hash independently
         #            so no row packing exists)
+        # Scatter sources are built as per-corner 1-D columns
+        # (_level_corner_arrays): the former (N,8,F) cotangent tensor
+        # materialized 16×-padded (8-lane minor) and its reshape to the
+        # flat scatter source forced copy fusions — several live at once
+        # OOM'd a 16 GB chip at the 2^18 batch.
         on_tpu = jax.default_backend() == "tpu"
         pieces = []
         for lvl in range(La):
-            idx, w, dw, scale = _level_indices_weights(positions, static,
-                                                       lvl)
-            flat_idx = idx.reshape(-1)
             size = int(static.table_sizes[lvl])
-            cf = w[:, :, None] * g_out[:, lvl][:, None, :]
-            for d in range(3):
-                cf = cf + (scale * dw[..., d])[:, :, None] \
-                    * g_jac[d][:, lvl][:, None, :]
+            scale0 = float(static.scales[lvl])
+            m = level_mask[lvl]
+            go = [g_out[:, lvl * F + f] * m for f in range(F)]
+            gj = [[g_jac[d][:, lvl * F + f] * (scale0 * m) for f in range(F)]
+                  for d in range(3)]
+            idx_cs, w_cs, dw_cs, _ = _level_corner_arrays(positions, static,
+                                                          lvl)
+
+            def src(c, f):
+                s = w_cs[c] * go[f]
+                for d in range(3):
+                    s = s + dw_cs[c][d] * gj[d][f]
+                return s
+
             mode = _bwd_formulation(static, lvl, on_tpu)
             if mode == "mxu":
-                pieces.append(grad_onehot_mxu(flat_idx, cf.reshape(-1, F),
-                                              size))
+                idx_all = jnp.concatenate(idx_cs)
+                cf_el = jnp.stack(
+                    [jnp.concatenate([src(c, f) for c in range(8)])
+                     for f in range(F)], axis=1)            # (8N, F)
+                pieces.append(grad_onehot_mxu(idx_all, cf_el, size))
             elif mode == "nbhd":
+                cf16 = jnp.stack([src(c, f) for c in range(8)
+                                  for f in range(F)], axis=1)   # (N, 8F)
                 pieces.append(grad_nbhd16(
-                    idx[:, 0], cf, size,
+                    idx_cs[0], cf16, size,
                     int(static.resolutions[lvl])))
             elif mode == "rows":
+                idx_all = jnp.concatenate(idx_cs)
+                cf_el = jnp.stack(
+                    [jnp.concatenate([src(c, f) for c in range(8)])
+                     for f in range(F)], axis=1)
                 pieces.append(jnp.zeros((size, F), g_out.dtype)
-                              .at[flat_idx].add(cf.reshape(-1, F),
-                                                mode="drop"))
+                              .at[idx_all].add(cf_el, mode="drop"))
             elif mode == "sorted":
-                order = jnp.argsort(flat_idx)
+                idx_all = jnp.concatenate(idx_cs)
+                cf_el = jnp.stack(
+                    [jnp.concatenate([src(c, f) for c in range(8)])
+                     for f in range(F)], axis=1)
+                order = jnp.argsort(idx_all)
                 pieces.append(jax.ops.segment_sum(
-                    cf.reshape(-1, F)[order], flat_idx[order],
+                    cf_el[order], idx_all[order],
                     num_segments=size, indices_are_sorted=True))
-            else:
+            else:                                           # width1
+                idx_all = jnp.concatenate(idx_cs)
                 cols = [jnp.zeros((size,), g_out.dtype)
-                        .at[flat_idx].add(cf[:, :, f].reshape(-1),
-                                          mode="drop")
+                        .at[idx_all].add(
+                            jnp.concatenate([src(c, f) for c in range(8)]),
+                            mode="drop")
                         for f in range(F)]
                 pieces.append(jnp.stack(cols, axis=1))
         tail = n_entries - int(static.offsets[La - 1]) \

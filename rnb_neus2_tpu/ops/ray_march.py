@@ -58,24 +58,31 @@ class MarchedRays(NamedTuple):
     n_valid: jnp.ndarray  # (R,) occupied-sample count (pre-truncation)
 
 
-def t_ladder(startt: jnp.ndarray, n_points: int,
-             cone_angle: float) -> jnp.ndarray:
-    """(R,) start distances → (R, K) ladder; closed-form, no scan.
+def ladder_t_at(startt: jnp.ndarray, k: jnp.ndarray,
+                cone_angle: float) -> jnp.ndarray:
+    """Closed-form ladder point k (any int array broadcastable with startt).
 
     Phase 1 (t < t_switch = dt_min/cone): t_k = startt + k·dt_min.
     Phase 2: geometric, t_{k+1} = t_k·(1+cone).
     """
-    k = jnp.arange(n_points, dtype=jnp.float32)[None, :]
+    k = k.astype(jnp.float32)
     dt_min = MIN_CONE_STEPSIZE
     if cone_angle <= 0.0:
-        return startt[:, None] + k * dt_min
+        return startt + k * dt_min
     t_switch = dt_min / cone_angle
     # number of constant steps before the ladder crosses t_switch
-    n0 = jnp.ceil(jnp.maximum(t_switch - startt, 0.0) / dt_min)[:, None]
-    t_const = startt[:, None] + k * dt_min
-    t_sw = startt[:, None] + n0 * dt_min
+    n0 = jnp.ceil(jnp.maximum(t_switch - startt, 0.0) / dt_min)
+    t_const = startt + k * dt_min
+    t_sw = startt + n0 * dt_min
     t_geom = t_sw * (1.0 + cone_angle) ** (k - n0)
     return jnp.where(k < n0, t_const, t_geom)
+
+
+def t_ladder(startt: jnp.ndarray, n_points: int,
+             cone_angle: float) -> jnp.ndarray:
+    """(R,) start distances → (R, K) ladder; closed-form, no scan."""
+    k = jnp.arange(n_points, dtype=jnp.int32)[None, :]
+    return ladder_t_at(startt[:, None], k, cone_angle)
 
 
 def _ladder_valid(ray_o, ray_d, bitfield, u_start, n_ladder, cone_angle,
@@ -102,7 +109,7 @@ def _ladder_valid(ray_o, ray_d, bitfield, u_start, n_ladder, cone_angle,
     else:
         occ = occupancy.lookup(bitfield, pos)
     valid = inside & occ
-    return t, dt, valid, jnp.sum(valid, axis=1)
+    return t, dt, valid, jnp.sum(valid, axis=1), startt
 
 
 def march(ray_o: jnp.ndarray, ray_d: jnp.ndarray, bitfield: jnp.ndarray,
@@ -111,8 +118,8 @@ def march(ray_o: jnp.ndarray, ray_d: jnp.ndarray, bitfield: jnp.ndarray,
     """Dense per-ray compaction: first M valid samples of each ray
     (order-preserving top_k). Used by the inference renderer and tests."""
     max_samples = min(max_samples, n_ladder)
-    t, dt, valid, n_valid = _ladder_valid(ray_o, ray_d, bitfield, u_start,
-                                          n_ladder, cone_angle, aabb_scale)
+    t, dt, valid, n_valid, _ = _ladder_valid(ray_o, ray_d, bitfield, u_start,
+                                             n_ladder, cone_angle, aabb_scale)
     k = jnp.arange(n_ladder, dtype=jnp.int32)[None, :]
     key = jnp.where(valid, -k, -(n_ladder + k))          # valid sort first
     _, sel = jax.lax.top_k(key, max_samples)             # (R, M) indices
@@ -128,31 +135,25 @@ def march_flat(ray_o: jnp.ndarray, ray_d: jnp.ndarray, bitfield: jnp.ndarray,
     budget overflow — the TPU restatement of the reference's two-pass
     count + atomicAdd compaction (testbed_nerf.cu:1332-1364)."""
     R = ray_o.shape[0]
-    t, dt, valid, n_valid = _ladder_valid(ray_o, ray_d, bitfield, u_start,
-                                          n_ladder, cone_angle, aabb_scale)
+    K = n_ladder
+    t, dt, valid, n_valid, startt = _ladder_valid(
+        ray_o, ray_d, bitfield, u_start, n_ladder, cone_angle, aabb_scale)
     cum = jnp.cumsum(n_valid)
     ray_kept = cum <= n_slots            # drop whole overflowing rays
     counts = jnp.where(ray_kept, n_valid, 0)
     offsets = jnp.cumsum(counts) - counts                  # (R,)
 
-    rank = jnp.cumsum(valid, axis=1) - 1                   # (R, K)
-    slot = offsets[:, None] + rank
-    write = valid & ray_kept[:, None]
-    slot = jnp.where(write, slot, n_slots)                 # sentinel slot
-
-    # ONE (R·K)-element scatter builds the t buffer; everything else is
-    # derived (XLA TPU scatter costs ~8 ns per SOURCE element regardless
-    # of destination size — measured on v5e — so the naive four scatters
-    # of t/dt/ray_id/valid were ~4× this cost):
-    #   dt[s]     = clamp(t·cone) — the exact formula that produced dt;
+    # NO (R·K)-element compaction scatter (XLA TPU scatter costs ~7 ns per
+    # SOURCE element — the full-ladder scatter was ~28 ms/step). Everything
+    # is derived slot-side instead:
     #   valid[s]  = s < Σ kept counts (compaction is dense by construction);
     #   ray_id[s] = forward-fill (cummax) of an R-element scatter of each
-    #               kept ray's id at its segment start.
-    t_flat = jnp.full((n_slots + 1,), 0.0, t.dtype) \
-        .at[slot.reshape(-1)].set(t.reshape(-1))[:n_slots]
-    dt_flat = jnp.clip(t_flat * cone_angle, MIN_CONE_STEPSIZE,
-                       MAX_CONE_STEPSIZE)
-
+    #               kept ray's id at its segment start (R sources, ~free);
+    #   k(s)      = ladder index of the slot's sample = binary search of
+    #               its intra-ray rank in the ray's running valid count
+    #               (log2 K rounds of (S,)-row gathers ≈ 12 ms);
+    #   t[s]      = closed-form ladder at k (ladder_t_at) — the scatter
+    #               carried no information the ladder formula doesn't.
     total = jnp.sum(counts)
     slot_ids = jnp.arange(n_slots, dtype=jnp.int32)
     valid_flat = slot_ids < total
@@ -163,6 +164,23 @@ def march_flat(ray_o: jnp.ndarray, ray_d: jnp.ndarray, bitfield: jnp.ndarray,
         .at[jnp.where(seg_write, offsets, n_slots)].max(ray_ids)[:n_slots]
     rid_flat = jnp.where(valid_flat, jax.lax.cummax(starts),
                          jnp.int32(R))
+
+    rank1 = jnp.cumsum(valid.astype(jnp.int32), axis=1).reshape(-1)  # (R·K,)
+    rid_c = jnp.minimum(rid_flat, R - 1)
+    j1 = slot_ids - offsets[rid_c] + 1     # 1-based intra-ray rank
+    lo = jnp.zeros((n_slots,), jnp.int32)
+    hi = jnp.full((n_slots,), K - 1, jnp.int32)
+    base = rid_c * K
+    for _ in range(max(1, (K - 1).bit_length())):
+        mid = (lo + hi) >> 1
+        ge = rank1[base + mid] >= j1       # first k with rank1 ≥ j1
+        lo = jnp.where(ge, lo, mid + 1)
+        hi = jnp.where(ge, mid, hi)
+    k_flat = lo
+    t_flat = jnp.where(valid_flat,
+                       ladder_t_at(startt[rid_c], k_flat, cone_angle), 0.0)
+    dt_flat = jnp.clip(t_flat * cone_angle, MIN_CONE_STEPSIZE,
+                       MAX_CONE_STEPSIZE)
 
     return FlatSamples(
         t=t_flat,

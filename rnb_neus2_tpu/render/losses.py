@@ -52,6 +52,11 @@ class RayBatch(NamedTuple):
     rot_c2w: jnp.ndarray      # (R, 3, 3) camera rotation
     light_idx: jnp.ndarray    # (R,) int32 in [0, 3)
     pdf: jnp.ndarray          # (R,) sampling pdf (importance sampling)
+    # (S, 8) pre-gathered per-SAMPLE attrs [ray_d(3) | alive&kept(1) |
+    # pad(4)]: one rows-of-8 gather in the sampler replaces the narrow
+    # (S,3)/(S,1) per-attribute gathers here (XLA's TPU gather is per-row
+    # bound; 3-wide rows cost ~49 ns/row — ~13 ms/step each at 2^18).
+    sample_attrs: jnp.ndarray | None = None
 
 
 def albedo_activation(raw: jnp.ndarray) -> jnp.ndarray:
@@ -151,10 +156,16 @@ def training_loss(field_out: Dict[str, jnp.ndarray], samples, batch: RayBatch,
     rid = jnp.minimum(samples.ray_id, R - 1)       # clipped gather index
     in_seg = samples.ray_id < R                    # slot belongs to a ray
     ray_alive = batch.alive & samples.ray_kept
-    s_alive = ray_alive[rid] & in_seg & samples.valid
+    if batch.sample_attrs is not None:
+        # pre-gathered in the sampler (one rows-of-8 gather, see RayBatch)
+        dirs = batch.sample_attrs[:, 0:3]
+        s_ray_alive = batch.sample_attrs[:, 3] > 0.5
+    else:
+        dirs = batch.ray_d[rid]
+        s_ray_alive = ray_alive[rid]
+    s_alive = s_ray_alive & in_seg & samples.valid
 
     # ---- per-sample alpha ------------------------------------------------
-    dirs = batch.ray_d[rid]
     true_cos = jnp.sum(dirs * grad, axis=-1)
     alpha = neus.sdf_to_alpha(sdf, true_cos, samples.dt, inv_s,
                               cos_anneal_ratio)
@@ -180,11 +191,14 @@ def training_loss(field_out: Dict[str, jnp.ndarray], samples, batch: RayBatch,
     shade_pred = shading.shade(grad, light_world[rid], flags.apply_relu)
     albedo4 = make_albedo4(albedo_activation(albedo_raw), flags)   # (S,4)
 
+    # slots are ray-ordered by construction (march_flat compaction), so
+    # the segment ids are sorted — lets XLA skip the general scatter path
     seg_ids = jnp.where(in_seg, samples.ray_id, R)
     pred4 = jax.ops.segment_sum(
         w[:, None] * albedo4 * shade_pred[:, None], seg_ids,
-        num_segments=R + 1)[:R]
-    weight_sum = jax.ops.segment_sum(w, seg_ids, num_segments=R + 1)[:R]
+        num_segments=R + 1, indices_are_sorted=True)[:R]
+    weight_sum = jax.ops.segment_sum(w, seg_ids, num_segments=R + 1,
+                                     indices_are_sorted=True)[:R]
 
     shade_gt = shading.shade(batch.normal_gt, light_cam, flags.apply_relu)
     target4 = make_albedo4(batch.albedo_gt, flags) * shade_gt[:, None]

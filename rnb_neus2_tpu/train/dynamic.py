@@ -111,7 +111,11 @@ class FrameSequenceTrainer:
                 rid = jnp.minimum(samples.ray_id, n_rays - 1)
                 pos = jnp.clip(o2[rid] + samples.t[:, None] * d2[rid],
                                0.0, 1.0)
-                batch2 = batch._replace(ray_o=o2, ray_d=d2)
+                # drop the pre-gathered per-sample attrs: they were built
+                # from the frozen-transform rays and the differentiable
+                # re-transform changes ray_d — the loss re-gathers instead
+                batch2 = batch._replace(ray_o=o2, ray_d=d2,
+                                        sample_attrs=None)
                 out = tr.field.apply(field_params, pos,
                                      valid_level=None,
                                      differentiable_positions=True)

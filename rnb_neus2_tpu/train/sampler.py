@@ -32,7 +32,7 @@ from ..render.losses import RayBatch
 def sample_ray_batch(dataset: TrainingDataset, bitfield: jnp.ndarray,
                      key: jax.Array, n_rays: int, n_slots: int,
                      march_cfg: MarchConfig, emap_state=None,
-                     ray_transform=None):
+                     ray_transform=None, light_salt: int = 0):
     """Returns (RayBatch, FlatSamples, positions (S, 3), (img, xy)).
 
     With emap_state, pixels are drawn from the error-map CDFs (importance
@@ -80,7 +80,25 @@ def sample_ray_batch(dataset: TrainingDataset, bitfield: jnp.ndarray,
                                    march_cfg.cone_angle)
     alive &= samples.n_valid > 0
 
+    if light_salt:
+        # separable light-choice stream (divergence A/B — see
+        # TrainConfig.light_prng_salt)
+        k_light = jax.random.fold_in(k_light, light_salt)
     light_idx = jax.random.randint(k_light, (n_rays,), 0, 3)
+
+    # ONE rows-of-8 gather hands every per-SAMPLE consumer its per-ray
+    # attributes: XLA's TPU gather is per-row bound (narrow (S,3) gathers
+    # measured ~49 ns/row ≈ 13 ms/step each at 2^18 samples), so packing
+    # [ray_d | alive&kept | ray_o | pad] into one (R, 8) array replaces
+    # three such gathers (pos assembly here + ray_d/alive in the loss).
+    full_alive = alive & samples.ray_kept
+    attrs = jnp.concatenate(
+        [ray_d, full_alive[:, None].astype(jnp.float32), ray_o,
+         jnp.zeros((n_rays, 1), jnp.float32)], axis=1)     # (R, 8)
+    rid = jnp.minimum(samples.ray_id, n_rays - 1)
+    s_attr = attrs[rid]                                    # (S, 8)
+    pos = s_attr[:, 4:7] + samples.t[:, None] * s_attr[:, 0:3]
+    pos = jnp.clip(pos, 0.0, 1.0)
 
     batch = RayBatch(
         ray_o=ray_o, ray_d=ray_d,
@@ -91,8 +109,6 @@ def sample_ray_batch(dataset: TrainingDataset, bitfield: jnp.ndarray,
         rot_c2w=dataset.cameras.rot_c2w[img],
         light_idx=light_idx,
         pdf=pdf,
+        sample_attrs=s_attr,
     )
-    rid = jnp.minimum(samples.ray_id, n_rays - 1)
-    pos = ray_o[rid] + samples.t[:, None] * ray_d[rid]
-    pos = jnp.clip(pos, 0.0, 1.0)
     return batch, samples, pos, (img, xy)

@@ -109,7 +109,7 @@ class Trainer:
         def step_fn(params, opt_state, emap, bitfield, key, step):
             batch, samples, pos, (img, xy) = sample_ray_batch(
                 self.dataset, bitfield, key, n_rays, n_slots, cfg.march,
-                emap_state=emap)
+                emap_state=emap, light_salt=cfg.train.light_prng_salt)
             vl = valid_level_for_step(cfg.grid, step)
             anneal = jnp.where(
                 cfg.loss.anneal_end <= 0, 1.0,

@@ -71,7 +71,8 @@ def test_pose_refinement_recovers_offset():
             o2, d2 = cr.refine_rays(pp, img, o, batch.ray_d)
             rid = jnp.minimum(samples.ray_id, 4096 - 1)
             pos2 = jnp.clip(o2[rid] + samples.t[:, None] * d2[rid], 0, 1)
-            batch2 = batch._replace(ray_o=o2, ray_d=d2)
+            # refined rays invalidate the pre-gathered per-sample attrs
+            batch2 = batch._replace(ray_o=o2, ray_d=d2, sample_attrs=None)
             out = tr.field.apply(tr.params, pos2,
                                  differentiable_positions=True)
             total, m = training_loss(out, samples, batch2, cfg.flags,

@@ -147,7 +147,7 @@ def test_grad_nbhd16_unit():
     key = jax.random.PRNGKey(0)
     d0 = jax.random.randint(key, (n,), 0, (res - 1) ** 3, dtype=jnp.int32)
     cf = jax.random.normal(jax.random.PRNGKey(1), (n, 8, 2))
-    got = he.grad_nbhd16(d0, cf, size, res)
+    got = he.grad_nbhd16(d0, cf.reshape(n, 16), size, res)
     want = jnp.zeros((size, 2))
     offs = he._corner_flat_offsets(res)
     for c in range(8):

@@ -13,7 +13,7 @@ from rnb_neus2_tpu.ops import ray_march
 def _reference_flat(ray_o, ray_d, bitfield, u_start, n_ladder, n_slots,
                     cone_angle):
     """Direct NumPy restatement of the compaction contract."""
-    t, dt, valid, n_valid = ray_march._ladder_valid(
+    t, dt, valid, n_valid, _ = ray_march._ladder_valid(
         ray_o, ray_d, bitfield, u_start, n_ladder, cone_angle)
     t, dt, valid, n_valid = map(np.asarray, (t, dt, valid, n_valid))
     R = ray_o.shape[0]

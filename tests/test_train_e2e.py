@@ -32,9 +32,11 @@ def trained():
     tr = Trainer(ds, cfg)
     first = [tr.train_step() for _ in range(10)]
     last = None
+    traj = [(m["rays_per_batch"], m["n_valid_total"]) for m in first]
     for _ in range(1190):
         last = tr.train_step()
-    return tr, first, last
+        traj.append((last["rays_per_batch"], last["n_valid_total"]))
+    return tr, first, last, traj
 
 
 def _radial_sdf(tr, r, n=96):
@@ -45,7 +47,7 @@ def _radial_sdf(tr, r, n=96):
 
 
 def test_color_loss_collapses(trained):
-    tr, first, last = trained
+    tr, first, last, _ = trained
     early = np.mean([f["loss_color"] for f in first])
     assert last["loss_color"] < 0.01
     assert last["loss_color"] < early * 0.25
@@ -53,21 +55,21 @@ def test_color_loss_collapses(trained):
 
 
 def test_variance_sharpens(trained):
-    tr, first, last = trained
+    tr, first, last, _ = trained
     # inv_s = e^{10v} rises by orders of magnitude as the surface forms
     assert last["inv_s"] > 100.0
     assert float(np.asarray(tr.params["variance"])[0]) > 0.4
 
 
 def test_sdf_carved_to_sphere(trained):
-    tr, _, _ = trained
+    tr, _, _, _ = trained
     assert np.abs(_radial_sdf(tr, RADIUS)).mean() < 0.03
     assert _radial_sdf(tr, RADIUS - 0.08).mean() < -0.02
     assert _radial_sdf(tr, RADIUS + 0.1).mean() > 0.02
 
 
 def test_mask_improves(trained):
-    tr, first, last = trained
+    tr, first, last, _ = trained
     assert last["loss_mask"] < first[0]["loss_mask"]
 
 
@@ -77,7 +79,7 @@ def test_mesh_from_trained_field(trained, tmp_path):
     from rnb_neus2_tpu.io.dataset import SceneMeta
     from rnb_neus2_tpu.mesh import extract, postprocess, writer
 
-    tr, _, _ = trained
+    tr, _, _, _ = trained
     meta = SceneMeta()   # scale .5, offset .5, n2w identity, from_na
     m = extract.extract_mesh(tr.field, tr.inference_params, resolution=96,
                              meta=meta)
@@ -89,3 +91,56 @@ def test_mesh_from_trained_field(trained, tmp_path):
     assert float(np.std(r)) < 0.05
     writer.save_mesh(tmp_path / "m.obj", V, F, N)
     assert (tmp_path / "m.obj").exists()
+
+
+@pytest.mark.slow
+def test_light_prng_divergence_within_noise():
+    """The reference picks each ray's light with curand(clock64()) — a
+    non-deterministic stream; ours is a counted PRNG (documented
+    divergence, DESIGN.md). Quantify: two runs differing ONLY in the
+    light-choice stream (light_prng_salt) must have loss trajectories
+    whose late-phase gap is within each run's own step-to-step noise —
+    i.e. the choice of stream does not steer training."""
+    def run(salt):
+        ds = sphere_dataset(n_views=8, width=32, height=32, radius=RADIUS)
+        cfg = TestbedConfig(
+            grid=HashGridConfig(n_levels=4, top_resolution=64),
+            train=TrainConfig(target_batch_size=1 << 13,
+                              initial_rays_per_batch=128,
+                              occ_grid_size=32, seed=0,
+                              light_prng_salt=salt),
+            march=MarchConfig(n_ladder=512),
+        )
+        tr = Trainer(ds, cfg)
+        losses = [tr.train_step()["loss_color"] for _ in range(500)]
+        return np.asarray(losses, np.float64)
+
+    a, b = run(0), run(7)
+    assert not np.allclose(a[:50], b[:50])   # streams really differ
+    tail_a, tail_b = a[-150:], b[-150:]
+    gap = abs(tail_a.mean() - tail_b.mean())
+    noise = 0.5 * (tail_a.std() + tail_b.std())
+    assert gap < 2.0 * noise, (gap, noise)
+    # both converge equally: same order of magnitude of final loss
+    assert tail_a.mean() < 3.0 * tail_b.mean() + 1e-4
+    assert tail_b.mean() < 3.0 * tail_a.mean() + 1e-4
+
+
+def test_adaptive_batch_controller_trajectory(trained):
+    """The adaptive rays-per-batch controller (testbed_nerf.cu:3554-3555)
+    must (a) start at the configured initial ray count, (b) RAMP UP as the
+    occupancy grid prunes empty space (fewer samples per ray → more rays
+    fit the sample budget), and (c) hold the generated sample count near
+    the slot budget in steady state."""
+    _, _, _, traj = trained
+    rays = np.asarray([r for r, _ in traj], np.float64)
+    nval = np.asarray([v for _, v in traj], np.float64)
+    target = 1 << 13
+    # (a) first step uses the initial bucket
+    assert rays[0] == 128
+    # (b) monotone-ish ramp: late median rays well above the start
+    assert np.median(rays[-200:]) >= 4 * rays[0]
+    # (c) steady state: generated samples track the budget within 2x
+    # (the controller aims the PRE-drop count at the slot budget)
+    late = nval[-200:] / target
+    assert 0.4 < np.median(late) < 2.5, np.median(late)

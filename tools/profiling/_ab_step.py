@@ -28,5 +28,5 @@ def measure(mode):
           % (mode, dt, out["loss_total"]), flush=True)
 
 
-measure("width1")
+measure("auto")
 

@@ -1,4 +1,5 @@
 """Capture a jax.profiler trace of steady-state training steps."""
+import sys; sys.path.insert(0, "/root/repo")
 import jax
 
 from rnb_neus2_tpu.config import TestbedConfig, TrainConfig
