@@ -215,6 +215,18 @@ class TrainConfig:
     # fractional training (--fractional-training): after this step only SDF
     # (density MLP + hash grid + variance) params keep updating
     fractional_from_step: Optional[int] = None
+    # error-map-proportional ray sampling (testbed.h:663-664): the
+    # reference DEFAULTS BOTH OFF — the error map is always accumulated
+    # (testbed_nerf.cu:3673 "low-overhead enough to warrant always being
+    # on", i.e. for visualization and the GUI), but neither main.cu nor
+    # the RNb pipeline ever flips these, so training samples pixels
+    # UNIFORMLY with stratified image choice. Round 1 had CDF sampling
+    # unconditionally on — combined with the reference's no-pdf-division
+    # splat this is a positive feedback loop (hot texels sampled more →
+    # accumulate more raw loss → sampled more) that measurably diverges
+    # full-scale runs. Exposed as the same two knobs as pyngp.
+    sample_image_proportional_to_error: bool = False
+    sample_focal_plane_proportional_to_error: bool = False
     # salt folded into the per-ray light-choice PRNG stream only. The
     # reference draws the light index with curand(clock64()) — a
     # NON-deterministic stream (testbed_nerf.cu light pick) — so any

@@ -40,6 +40,8 @@ import jax.numpy as jnp
 import numpy as np
 
 MIN_IMG_PMF = 0.1
+# per-texel / per-row uniform floor (testbed_nerf.cu:2433 MIN_PDF)
+MIN_PDF = 0.01
 # fraction of rays whose pixel is drawn uniformly instead of from the
 # error-map CDF (sample_cdf_2d, testbed_nerf.cu:1115)
 UNIFORM_SAMPLING_FRACTION = 0.5
@@ -95,13 +97,20 @@ def splat(state: ErrorMapState, img: jnp.ndarray, xy: jnp.ndarray,
 
 
 def rebuild(state: ErrorMapState) -> ErrorMapState:
-    """Accumulated errors → sampling CDFs; accumulator reset."""
+    """Accumulated errors → sampling CDFs; accumulator reset.
+
+    Every CDF level gets the reference's uniform floor blended in
+    (construct_cdf_2d/1d, testbed_nerf.cu:2433-2489): per-texel and
+    per-row MIN_PDF = 0.01, per-image MIN_PMF = 0.1 — guarantees full
+    coverage no matter how peaked the accumulated error is."""
     n, eh, ew = state.accum.shape
     m = state.accum + 1e-10
     row_sum = m.sum(axis=2)                                 # (N, EH)
-    cdf_x = jnp.cumsum(m, axis=2) / row_sum[:, :, None]
+    cdf_x = (1 - MIN_PDF) * jnp.cumsum(m, axis=2) / row_sum[:, :, None] \
+        + MIN_PDF * (jnp.arange(ew, dtype=jnp.float32) + 1) / ew
     img_sum = row_sum.sum(axis=1)                           # (N,)
-    cdf_y = jnp.cumsum(row_sum, axis=1) / img_sum[:, None]
+    cdf_y = (1 - MIN_PDF) * jnp.cumsum(row_sum, axis=1) / img_sum[:, None] \
+        + MIN_PDF * (jnp.arange(eh, dtype=jnp.float32) + 1) / eh
     pmf = img_sum / img_sum.sum()
     pmf = (1 - MIN_IMG_PMF) * pmf + MIN_IMG_PMF / n
     cdf_img = jnp.cumsum(pmf)
@@ -110,18 +119,34 @@ def rebuild(state: ErrorMapState) -> ErrorMapState:
                          valid=jnp.ones((), bool))
 
 
-def sample(state: ErrorMapState, key: jax.Array, n_rays: int):
+def sample(state: ErrorMapState, key: jax.Array, n_rays: int,
+           image_proportional: bool = True,
+           focal_proportional: bool = True):
     """→ (img (R,), xy (R,2) in [0,1)², pdf (R,)): sample_cdf_2d
     (testbed_nerf.cu:1115-1148) vectorized; falls back to the
-    stratified-uniform scheme until the first rebuild."""
+    stratified-uniform scheme until the first rebuild.
+
+    image_proportional / focal_proportional mirror the pyngp knobs
+    (testbed.h:663-664; both DEFAULT FALSE in the reference — callers
+    must opt in). Off → stratified image choice (image_idx) / uniform
+    pixel position, exactly the cdf==nullptr kernel paths."""
     n, eh, ew = state.accum.shape
+    if not (image_proportional or focal_proportional):
+        k_x, k_y = jax.random.split(key, 2)
+        img = ((jnp.arange(n_rays) * n) // n_rays).astype(jnp.int32)
+        xy = jnp.stack([jax.random.uniform(k_x, (n_rays,)),
+                        jax.random.uniform(k_y, (n_rays,))], axis=1)
+        return img, xy, jnp.ones((n_rays,), jnp.float32)
     k_i, k_y, k_x = jax.random.split(key, 3)
     u_img = jax.random.uniform(k_i, (n_rays,))
     u_y = jax.random.uniform(k_y, (n_rays,))
     u_x = jax.random.uniform(k_x, (n_rays,))
 
-    img_is = jnp.searchsorted(state.cdf_img, u_img).astype(jnp.int32)
-    img_is = jnp.minimum(img_is, n - 1)
+    if image_proportional:
+        img_is = jnp.searchsorted(state.cdf_img, u_img).astype(jnp.int32)
+        img_is = jnp.minimum(img_is, n - 1)
+    else:
+        img_is = ((jnp.arange(n_rays) * n) // n_rays).astype(jnp.int32)
 
     # uniform branch (u_x < 0.5): pixel uniform, residual covers the texel
     uniform = u_x < UNIFORM_SAMPLING_FRACTION
@@ -158,10 +183,14 @@ def sample(state: ErrorMapState, key: jax.Array, n_rays: int):
     x_cdf_at = state.cdf_x[img_is, ty]                      # (R, EW)
     pmf_x_at = x_cdf_at[ar, tx] - jnp.where(
         tx > 0, x_cdf_at[ar, jnp.maximum(tx - 1, 0)], 0.0)
-    pdf_is = (state.pmf_img[img_is] * n) * (
-        UNIFORM_SAMPLING_FRACTION
-        + (pmf_y_at * eh) * (pmf_x_at * ew)
-        * (1.0 - UNIFORM_SAMPLING_FRACTION))
+    pdf_img_f = state.pmf_img[img_is] * n if image_proportional else 1.0
+    pdf_xy_f = (UNIFORM_SAMPLING_FRACTION
+                + (pmf_y_at * eh) * (pmf_x_at * ew)
+                * (1.0 - UNIFORM_SAMPLING_FRACTION))
+    if not focal_proportional:
+        xy_is = jnp.stack([u_x, u_y], axis=1)
+        pdf_xy_f = 1.0
+    pdf_is = pdf_img_f * pdf_xy_f
 
     # uniform fallback (pre-first-rebuild): stratified images, uniform xy
     img_u = ((jnp.arange(n_rays) * n) // n_rays).astype(jnp.int32)

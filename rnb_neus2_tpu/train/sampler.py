@@ -32,22 +32,30 @@ from ..render.losses import RayBatch
 def sample_ray_batch(dataset: TrainingDataset, bitfield: jnp.ndarray,
                      key: jax.Array, n_rays: int, n_slots: int,
                      march_cfg: MarchConfig, emap_state=None,
-                     ray_transform=None, light_salt: int = 0):
+                     ray_transform=None, light_salt: int = 0,
+                     emap_image_prop: bool = False,
+                     emap_focal_prop: bool = False):
     """Returns (RayBatch, FlatSamples, positions (S, 3), (img, xy)).
 
-    With emap_state, pixels are drawn from the error-map CDFs (importance
-    sampling, on by default in the reference); otherwise stratified images
-    + uniform pixels. ray_transform (o, d) → (o, d) maps rays into the
-    canonical frame BEFORE marching (global movement,
+    With emap_state AND one of the emap_*_prop knobs, pixels/images are
+    drawn from the error-map CDFs (importance sampling — OPT-IN, exactly
+    like the reference's testbed.h:663-664 flags which default false);
+    otherwise stratified images + uniform pixels (the reference's default
+    path, image_idx + cdf==nullptr). ray_transform (o, d) → (o, d) maps
+    rays into the canonical frame BEFORE marching (global movement,
     testbed_nerf.cu:1311-1323).
     """
     W, H = dataset.resolution
     n_img = dataset.n_images
     k_xy, k_skip, k_light, k_start = jax.random.split(key, 4)
 
-    if emap_state is not None:
+    if emap_state is not None and (emap_image_prop or emap_focal_prop):
+        # OPT-IN error-proportional sampling (testbed.h:663-664 — the
+        # reference defaults both knobs off and the RNb pipeline never
+        # enables them; the error map itself is still accumulated)
         from . import error_map
-        img, xy, pdf = error_map.sample(emap_state, k_xy, n_rays)
+        img, xy, pdf = error_map.sample(emap_state, k_xy, n_rays,
+                                        emap_image_prop, emap_focal_prop)
     else:
         ray_ids = jnp.arange(n_rays)
         img = ((ray_ids * n_img) // n_rays).astype(jnp.int32)

@@ -109,7 +109,10 @@ class Trainer:
         def step_fn(params, opt_state, emap, bitfield, key, step):
             batch, samples, pos, (img, xy) = sample_ray_batch(
                 self.dataset, bitfield, key, n_rays, n_slots, cfg.march,
-                emap_state=emap, light_salt=cfg.train.light_prng_salt)
+                emap_state=emap, light_salt=cfg.train.light_prng_salt,
+                emap_image_prop=cfg.train.sample_image_proportional_to_error,
+                emap_focal_prop=(
+                    cfg.train.sample_focal_plane_proportional_to_error))
             vl = valid_level_for_step(cfg.grid, step)
             anneal = jnp.where(
                 cfg.loss.anneal_end <= 0, 1.0,
@@ -157,7 +160,11 @@ class Trainer:
         n_cells = gsize ** 3
         n_quarter = max(n_cells // 4, 1)
         M = n_cells // 2 if subsampled else n_cells
-        chunk = min(M, 1 << 17)         # bound the encoding's index blowup
+        # the per-corner 1-D encode has no padded index intermediates, so
+        # the old 2^17 memory-bounding chunk only buys lax.map scan
+        # overhead (~400 ms per refresh in device traces); one chunk up to
+        # 2^20 points runs the whole refresh as a single fusion stream
+        chunk = min(M, 1 << 20)
         n_chunks = -(-M // chunk)
 
         @jax.jit

@@ -10,6 +10,8 @@ from rnb_neus2_tpu.config import (HashGridConfig, MarchConfig, TestbedConfig,
                                   TrainConfig)
 from rnb_neus2_tpu.testing.synthetic import write_prepared_scene
 
+pytestmark = pytest.mark.slow  # facade tests train the underlying models
+
 
 def test_api_surface(tmp_path):
     scene = tmp_path / "scene"

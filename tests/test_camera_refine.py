@@ -37,7 +37,7 @@ def test_exposure_roundtrip():
     assert np.all(out > np.asarray(v))
 
 
-@pytest.mark.slow
+@pytest.mark.slow  # 400-step pose optimization
 def test_pose_refinement_recovers_offset():
     ds = sphere_dataset(n_views=6, width=32, height=32, radius=0.2)
     cfg = TestbedConfig(

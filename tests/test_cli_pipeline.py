@@ -15,6 +15,8 @@ from rnb_neus2_tpu.cli import pipeline, testbed
 from rnb_neus2_tpu.mesh.writer import load_obj
 from rnb_neus2_tpu.testing.synthetic import write_prepared_scene
 
+pytestmark = pytest.mark.slow  # two-stage e2e training
+
 SMALL = ["--target-batch-size", "8192", "--occ-grid-size", "32",
          "--n-ladder", "512"]
 RADIUS = 0.2

@@ -13,6 +13,8 @@ from rnb_neus2_tpu.testing.synthetic import (render_sphere_views,
                                              ring_cameras)
 from rnb_neus2_tpu.train.dynamic import DynamicConfig, FrameSequenceTrainer
 
+pytestmark = pytest.mark.slow  # 900-step first-frame training fixture
+
 RADIUS = 0.2
 SHIFT = np.array([0.06, -0.04, 0.0], np.float32)
 

@@ -1,6 +1,7 @@
 """Error-map importance sampling: splat/rebuild/sample statistics."""
 
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -19,6 +20,7 @@ def test_splat_accumulates_bilinearly():
     assert abs(a[1, 0, 0] - 3.0) < 1e-4
 
 
+@pytest.mark.slow  # large-draw statistics
 def test_sampling_follows_error_distribution():
     st = em.init_state(2, ew=4, eh=4)
     # image 0, texel (1,2) gets all the error
@@ -46,6 +48,7 @@ def test_sampling_follows_error_distribution():
     assert np.all(pdf[sel][cold] > 0.5 * 0.95 * 2 - 1e-3)
 
 
+@pytest.mark.slow  # large-draw statistics
 def test_uniform_mixture_covers_whole_image():
     """With prob 0.5 pixels ignore the CDF entirely (sample_cdf_2d), so
     even a maximally peaked error map leaves ~uniform coverage."""

@@ -7,6 +7,8 @@ from rnb_neus2_tpu.models.extra_modes import ImageField, SdfField, VolumeField
 from rnb_neus2_tpu.config import HashGridConfig
 from tests.test_raycast_albedo import icosphere
 
+pytestmark = pytest.mark.slow  # image/sdf/volume fit loops
+
 
 def test_image_fit():
     H = W = 48

@@ -1,6 +1,7 @@
 """Hash-grid encoding: shape/structure golden tests + numpy oracle."""
 
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -86,6 +87,7 @@ def test_progressive_level_mask():
     assert cfg.valid_levels(0) == 14    # step<=0 → all levels (grid.h:1432)
 
 
+@pytest.mark.slow  # compile-heavy grad graphs
 def test_second_order_grad_exists():
     """grad-of-grad through the encoding (the reference's hand-written
     backward_backward path, grid.h:557-859) must work natively."""
@@ -136,6 +138,7 @@ def _bwd_oracle_vs_mode(mode, monkeypatch, n=257):
                                rtol=2e-5, atol=2e-6)
 
 
+@pytest.mark.slow  # compile-heavy grad graphs
 def test_bwd_nbhd_matches_width1(monkeypatch):
     _bwd_oracle_vs_mode("nbhd", monkeypatch)
 
@@ -156,6 +159,7 @@ def test_grad_nbhd16_unit():
                                rtol=1e-6, atol=1e-6)
 
 
+@pytest.mark.slow  # compile-heavy grad graphs
 def test_grad_onehot_mxu_interpret():
     """Pallas one-hot MXU gradient (interpret mode) == scatter oracle."""
     S, n = 512, 300
@@ -166,3 +170,38 @@ def test_grad_onehot_mxu_interpret():
     want = jnp.zeros((S, 2)).at[idx].add(cf)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=1e-5, atol=1e-6)
+
+
+@pytest.mark.slow  # compile-heavy grad graphs
+def test_cv_gradient_matches_autodiff_oracle(monkeypatch):
+    """The hand-derived custom-VJP backward (all modes route through the
+    same per-corner source construction) must equal plain jax.grad through
+    the pure-jnp oracle encode_with_jacobian — including with a partial
+    progressive-level mask. Guards the whole bwd derivation, which the
+    mode-vs-mode comparisons alone cannot (a shared bug would cancel)."""
+    monkeypatch.setattr(he, "_SCATTER_MODE", "width1")
+    cfg = HashGridConfig(n_levels=6, top_resolution=128,
+                         log2_hashmap_size=14)
+    static = he.HashGridStatic(cfg)
+    table = he.init_table(jax.random.PRNGKey(3), cfg)
+    x = jax.random.uniform(jax.random.PRNGKey(4), (193, 3))
+    cot_f = jax.random.normal(jax.random.PRNGKey(5), (193, cfg.output_dim))
+    cot_j = tuple(jax.random.normal(jax.random.PRNGKey(6 + d),
+                                    (193, cfg.output_dim))
+                  for d in range(3))
+    he_fn = he.make_encode_with_jacobian_cv(static)
+
+    for vl in (None, 4):
+        def loss_cv(t):
+            f, j = he_fn(t, x, vl)
+            return jnp.vdot(f, cot_f) + sum(
+                jnp.vdot(j[d], cot_j[d]) for d in range(3))
+
+        def loss_oracle(t):
+            f, j = he.encode_with_jacobian(t, x, static, vl)
+            return jnp.vdot(f, cot_f) + sum(
+                jnp.vdot(j[d], cot_j[d]) for d in range(3))
+
+        g_cv = np.asarray(jax.grad(loss_cv)(table))
+        g_or = np.asarray(jax.grad(loss_oracle)(table))
+        np.testing.assert_allclose(g_cv, g_or, rtol=2e-5, atol=2e-6)

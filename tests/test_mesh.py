@@ -42,6 +42,7 @@ def mesh():
     return extract.extract_mesh(field, None, resolution=96, meta=meta), meta
 
 
+@pytest.mark.slow  # 96-cube extraction fixture / large MC grids
 def test_sphere_surface_accuracy(mesh):
     m, meta = mesh
     V = m["V"]
@@ -57,6 +58,7 @@ def test_sphere_surface_accuracy(mesh):
     assert np.abs(r[near_main] - 0.3).max() < 1.0 / 96
 
 
+@pytest.mark.slow  # 96-cube extraction fixture / large MC grids
 def test_normals_point_outward(mesh):
     m, meta = mesh
     unit = m["V"] * meta.scale + np.asarray(meta.offset)
@@ -67,6 +69,7 @@ def test_normals_point_outward(mesh):
     assert (dots > 0.7).mean() > 0.95
 
 
+@pytest.mark.slow  # 96-cube extraction fixture / large MC grids
 def test_faces_consistent_orientation(mesh):
     m, meta = mesh
     V, F = m["V"], m["F"]
@@ -81,6 +84,7 @@ def test_faces_consistent_orientation(mesh):
     assert (dots > 0).mean() > 0.98   # outward winding
 
 
+@pytest.mark.slow  # 96-cube extraction fixture / large MC grids
 def test_largest_component_removes_satellite(mesh):
     m, meta = mesh
     V2, F2, N2, _ = postprocess.largest_component(m["V"], m["F"], m["N"])
@@ -90,6 +94,7 @@ def test_largest_component_removes_satellite(mesh):
     assert len(V2) < len(m["V"])
 
 
+@pytest.mark.slow  # 96-cube extraction fixture / large MC grids
 def test_obj_roundtrip(tmp_path, mesh):
     m, _ = mesh
     p = tmp_path / "mesh.obj"
@@ -99,6 +104,7 @@ def test_obj_roundtrip(tmp_path, mesh):
     np.testing.assert_allclose(V, m["V"], atol=1e-4)
 
 
+@pytest.mark.slow  # 96-cube extraction fixture / large MC grids
 def test_ply_writer(tmp_path, mesh):
     m, _ = mesh
     p = tmp_path / "mesh.ply"
@@ -200,6 +206,7 @@ def test_mc_matches_cuda_oracle_topology():
     np.testing.assert_array_equal(cF1, cF0)
 
 
+@pytest.mark.slow  # 96-cube extraction fixture / large MC grids
 def test_mc_sphere_watertight_and_accurate():
     from rnb_neus2_tpu.mesh.marching import marching_cubes_grid
     n, r = 48, 0.3
@@ -256,6 +263,7 @@ def test_1ring_normals_point_along_radius_for_sphere():
     assert np.median(dots) > 0.95
 
 
+@pytest.mark.slow  # 96-cube extraction fixture / large MC grids
 def test_optimise_mesh_step_moves_verts_to_zero_set():
     from rnb_neus2_tpu.mesh.refine import optimise_mesh_step
     V, F = _noisy_sphere_mesh(noise=0.02)

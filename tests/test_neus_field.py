@@ -1,6 +1,7 @@
 """NeusField structure, geometric init, gradient paths."""
 
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -59,6 +60,7 @@ def test_init_field_is_sphere_sdf():
     assert 0.5 < gn.mean() < 1.8  # near-eikonal init gradients
 
 
+@pytest.mark.slow  # compile-heavy grad graphs
 def test_grad_matches_finite_difference():
     # fp32 compute: this validates the analytic-jacobian math against
     # central differences, which bf16 rounding would drown out
@@ -78,6 +80,7 @@ def test_grad_matches_finite_difference():
                                    rtol=6e-2, atol=3e-3)
 
 
+@pytest.mark.slow  # compile-heavy grad graphs
 def test_full_apply_and_second_order():
     field, params = small_field()
     x = jax.random.uniform(jax.random.PRNGKey(2), (32, 3))

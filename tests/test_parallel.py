@@ -15,6 +15,8 @@ from rnb_neus2_tpu.testing.synthetic import sphere_dataset
 from rnb_neus2_tpu.train import optimizer as opt
 from rnb_neus2_tpu.grid import occupancy
 
+pytestmark = pytest.mark.slow  # 8-device CPU-mesh training steps
+
 
 @pytest.fixture(scope="module")
 def setup():

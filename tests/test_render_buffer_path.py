@@ -143,6 +143,7 @@ def test_envmap_azimuth_wraps_polar_clamps():
     assert np.isfinite(np.asarray(out)).all()
 
 
+@pytest.mark.slow  # renders/training through testbed
 def test_envmap_is_trainable_through_background():
     """Gradient descent on the envmap recovers a target background color
     through the compositor — the reference's deposit_envmap_gradient path
@@ -175,6 +176,7 @@ def test_background_color_constant_fallback():
 
 # ------------------------------------------------------- render scaling
 
+@pytest.mark.slow  # renders/training through testbed
 def test_render_scale_upsamples_to_full_resolution():
     """DLSS-analog path: render at 0.5 internal scale, output full size,
     image content consistent with the native render."""
@@ -207,6 +209,7 @@ def test_render_scale_upsamples_to_full_resolution():
     assert abs(cov_f - cov_h) < 0.12, (cov_f, cov_h)
 
 
+@pytest.mark.slow  # renders/training through testbed
 def test_testbed_render_path_flythrough(tmp_path):
     """Testbed.render_path: fly a 2-keyframe path, frames differ and are
     well-formed RGBA."""

@@ -29,6 +29,7 @@ def trained():
     return ds, tr
 
 
+@pytest.mark.slow  # 900-step training fixture
 def test_rendered_silhouette_matches_gt(trained):
     ds, tr = trained
     out = render_view(tr.field, tr.inference_params, ds.cameras, 0,
@@ -43,6 +44,7 @@ def test_rendered_silhouette_matches_gt(trained):
     assert np.all(d > 0.5) and np.all(d < 3.0)
 
 
+@pytest.mark.slow  # 900-step training fixture
 def test_rendered_albedo_color(trained):
     ds, tr = trained
     out = render_view(tr.field, tr.inference_params, ds.cameras, 0,

@@ -8,6 +8,8 @@ import pytest
 from rnb_neus2_tpu.ops import takikawa
 from tests.test_raycast_albedo import icosphere
 
+pytestmark = pytest.mark.slow  # octree build + SDF training on 1-cpu host
+
 
 @pytest.fixture(scope="module")
 def sphere_octree():

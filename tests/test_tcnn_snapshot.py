@@ -26,6 +26,7 @@ def trainer():
     return tr
 
 
+@pytest.mark.slow  # full-size trainer fixture
 def test_blob_size_matches_reference_formula(trainer):
     shapes = tsnap.MlpShapes.from_config(trainer.cfg)
     # full config: 64x32 (sdf in = next_mult(31,16)) + 16x64
@@ -37,6 +38,7 @@ def test_blob_size_matches_reference_formula(trainer):
     assert blob.dtype == np.float16 and blob.size == expect
 
 
+@pytest.mark.slow  # full-size trainer fixture
 def test_params_roundtrip_through_tcnn_layout(trainer):
     shapes = tsnap.MlpShapes.from_config(trainer.cfg)
     blob = tsnap.params_to_tcnn_blob(trainer.params, shapes)
@@ -49,6 +51,7 @@ def test_params_roundtrip_through_tcnn_layout(trainer):
                                    atol=2e-3, rtol=2e-3, err_msg=str(pa))
 
 
+@pytest.mark.slow  # full-size trainer fixture
 def test_snapshot_file_roundtrip(trainer, tmp_path):
     path = str(tmp_path / "snap.msgpack")
     tsnap.export_cuda_snapshot(path, trainer, {"encoding": {"otype": "HashGrid"}})
@@ -79,6 +82,7 @@ def test_snapshot_file_roundtrip(trainer, tmp_path):
     assert snap["training_step"] == trainer.step
 
 
+@pytest.mark.slow  # full-size trainer fixture
 def test_import_rejects_mismatched_config(trainer, tmp_path):
     path = str(tmp_path / "snap.msgpack")
     tsnap.export_cuda_snapshot(path, trainer)
@@ -108,6 +112,7 @@ def test_morton_permutation_roundtrip():
     assert perm[g ** 3 - 1] == g ** 3 - 1
 
 
+@pytest.mark.slow  # full-size trainer fixture
 def test_snapshot_density_grid_morton_layout(trainer, tmp_path):
     """density_grid_binary bytes are Morton-ordered (CUDA layout) and
     import restores the row-major grid bit-exactly."""

@@ -16,6 +16,8 @@ from rnb_neus2_tpu.config import (HashGridConfig, MarchConfig, TestbedConfig,
 from rnb_neus2_tpu.testing.synthetic import sphere_dataset
 from rnb_neus2_tpu.train.trainer import Trainer
 
+pytestmark = pytest.mark.slow  # 1200-step convergence fixture
+
 RADIUS = 0.2
 
 
