@@ -96,3 +96,41 @@ def test_trainer_integration_smoke():
         out = tr.train_step()
     assert bool(np.asarray(tr.emap.valid))
     assert np.isfinite(out["loss_total"])
+
+
+def test_sampling_knobs_default_reference_off_behavior():
+    """With both proportional knobs off (the reference's defaults,
+    testbed.h:663-664) sampling must ignore the CDFs entirely: stratified
+    image choice + uniform pixels, even on a maximally peaked map."""
+    st = em.init_state(2, ew=4, eh=4)
+    img = jnp.zeros((64,), jnp.int32)
+    xy = jnp.tile(jnp.array([[0.375, 0.625]]), (64, 1))
+    st = em.rebuild(em.splat(st, img, xy, jnp.full((64,), 100.0)))
+    imgs, xys, pdf = em.sample(st, jax.random.PRNGKey(1), 2048,
+                               image_proportional=False,
+                               focal_proportional=False)
+    imgs, xys, pdf = map(np.asarray, (imgs, xys, pdf))
+    # stratified images: exactly half the rays per image, in order
+    assert (imgs[:1024] == 0).all() and (imgs[1024:] == 1).all()
+    # uniform pixels: hot texel gets ~1/16 of draws, not ~1
+    tex = np.floor(xys * 4).astype(int)
+    hot = (tex[:, 0] == 1) & (tex[:, 1] == 2)
+    assert hot.mean() < 0.15
+    assert np.allclose(pdf, 1.0)
+
+
+def test_sampling_image_knob_only():
+    """image_proportional alone: CDF image choice, uniform pixels."""
+    st = em.init_state(2, ew=4, eh=4)
+    img = jnp.zeros((64,), jnp.int32)
+    xy = jnp.tile(jnp.array([[0.375, 0.625]]), (64, 1))
+    st = em.rebuild(em.splat(st, img, xy, jnp.full((64,), 100.0)))
+    imgs, xys, _ = em.sample(st, jax.random.PRNGKey(2), 4096,
+                             image_proportional=True,
+                             focal_proportional=False)
+    imgs, xys = np.asarray(imgs), np.asarray(xys)
+    # image 0 favored at (1−MIN_PMF)+MIN_PMF/2 ≈ 0.95
+    assert abs((imgs == 0).mean() - 0.95) < 0.04
+    tex = np.floor(xys * 4).astype(int)
+    hot = (tex[:, 0] == 1) & (tex[:, 1] == 2)
+    assert hot.mean() < 0.15          # pixels stay uniform
