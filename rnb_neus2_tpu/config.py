@@ -130,6 +130,15 @@ class NetworkConfig:
     # MXU-bound), so fp32 stays the default for numeric headroom; flip
     # this when the arithmetic share of the step grows.
     compute_dtype: str = "float32"
+    # Stochastic corner backward for HASHED hash-grid levels: 0 = exact
+    # 8-corner scatter (the reference's kernel_grid_backward_grid
+    # semantics, grid.h:~400). K>0 scatters only K importance-sampled
+    # corners per sample (unbiased estimator, K/8 of the scatter
+    # elements — the dominant v5e step cost; see
+    # hash_encoding.make_encode_with_jacobian_cv). Convergence-validated
+    # by tests/test_hash_encoding.py (unbiasedness) and the A/B in
+    # tests/test_train_e2e.py before any default change.
+    stoch_corner_bwd: int = 0
     # input widths (nerf_network.h:46-61): [xyz | hash feats] -> next mult of 16
     @property
     def sdf_input_dim(self) -> int:

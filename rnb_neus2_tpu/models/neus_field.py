@@ -110,7 +110,9 @@ class NeusField:
         key = min(self.grid.n_levels, n_active or self.grid.n_levels)
         if key not in self._encode_jac_variants:
             self._encode_jac_variants[key] = \
-                hash_encoding.make_encode_with_jacobian_cv(self.static, key)
+                hash_encoding.make_encode_with_jacobian_cv(
+                    self.static, key,
+                    corner_samples=self.net.stoch_corner_bwd)
         return self._encode_jac_variants[key](table, x, valid_level)
 
     # -- SDF ---------------------------------------------------------------

@@ -46,6 +46,32 @@ _SCATTER_MODE = os.environ.get("RNB_SCATTER_MODE", "auto")
 _MXU_MAX_ENTRIES = int(os.environ.get("RNB_BWD_MXU_MAX", 1 << 15))
 
 
+def _hash_uniforms(positions: jnp.ndarray, salt: int, k: int):
+    """k per-sample uniforms in [0,1) from the position bit patterns.
+
+    Used by the stochastic corner backward: the custom-VJP backward has no
+    PRNG key input, so draws are a pseudo-random function of the sample
+    position (murmur-style integer mix of the fp32 mantissas). Positions
+    are themselves fresh random ray samples every step, so draws decorrelate
+    across steps; `salt` varies the stream (used by the unbiasedness test
+    to average over independent draw streams).
+    """
+    bits = [jax.lax.bitcast_convert_type(positions[:, d], jnp.uint32)
+            for d in range(3)]
+    base = (bits[0] * jnp.uint32(0x9E3779B1)
+            ^ bits[1] * jnp.uint32(0x85EBCA77)
+            ^ bits[2] * jnp.uint32(0xC2B2AE3D))
+    us = []
+    for j in range(k):
+        h = base + jnp.uint32((0x27D4EB2F * (salt * k + j + 1))
+                              & 0xFFFFFFFF)
+        h = (h ^ (h >> 15)) * jnp.uint32(0x2C1B3C6D)
+        h = (h ^ (h >> 12)) * jnp.uint32(0x297A2D39)
+        h = h ^ (h >> 15)
+        us.append((h >> 8).astype(jnp.float32) * (1.0 / (1 << 24)))
+    return us
+
+
 class HashGridStatic:
     """Precomputed static tables for a HashGridConfig (host-side)."""
 
@@ -478,7 +504,9 @@ def _bwd_formulation(static: HashGridStatic, lvl: int, on_tpu: bool) -> str:
 
 
 def make_encode_with_jacobian_cv(static: HashGridStatic,
-                                 n_active: int | None = None):
+                                 n_active: int | None = None,
+                                 corner_samples: int = 0,
+                                 corner_salt: int = 0):
     """custom-VJP encode_with_jacobian specialized to `static`.
 
     The generic version lets XLA schedule the backward, which on TPU
@@ -496,6 +524,20 @@ def make_encode_with_jacobian_cv(static: HashGridStatic,
     n_active statically limits the processed levels (progressive
     unlocking, grid.h:1430-1436): locked levels emit zeros WITHOUT any
     gather/scatter — the trainer compiles one variant per level bucket.
+
+    corner_samples > 0 enables the STOCHASTIC corner backward for hashed
+    levels: instead of scattering all 8 trilinear corners per sample
+    (the reference's exact kernel_grid_backward_grid, and our default),
+    each sample scatters `corner_samples` corners drawn with replacement
+    from the importance mixture p_c = w_c/2 + 1/16, each contribution
+    divided by (K·p_c) — an unbiased estimator of the exact table
+    gradient with K/8 of the scatter elements. The width-1 scatter floor
+    (6.7 ns/source-element on v5e, DESIGN.md "Kernel war") makes the 9
+    hashed levels' 8-corner scatters the single largest step cost; K=2
+    cuts that 4×. Dense levels keep their exact (cheaper) formulations.
+    Draws are a hash of the sample position bits (`_hash_uniforms`) —
+    fresh random rays each step decorrelate them across steps;
+    corner_salt selects an independent draw stream.
     """
     cfg = static.cfg
     L = cfg.n_levels
@@ -585,7 +627,49 @@ def make_encode_with_jacobian_cv(static: HashGridStatic,
                 return s
 
             mode = _bwd_formulation(static, lvl, on_tpu)
-            if mode == "mxu":
+            if corner_samples and mode == "width1":
+                mode = "stoch"
+            if mode == "stoch":
+                # stochastic corner backward (see factory docstring):
+                # scatter K importance-sampled corners per sample instead
+                # of 8. Corner choice by CDF inversion over
+                # p_c = w_c/2 + 1/16; selection of the chosen corner's
+                # index/value/probability is 8 vector selects per draw —
+                # trivial next to the scatter it removes.
+                K = corner_samples
+                us = _hash_uniforms(positions, corner_salt * La + lvl, K)
+                ps = [0.5 * w_cs[c] + (1.0 / 16.0) for c in range(8)]
+                cdf = []
+                acc = None
+                for c in range(8):
+                    acc = ps[c] if acc is None else acc + ps[c]
+                    cdf.append(acc)
+                idx_ks, val_ks = [], [[] for _ in range(F)]
+                srcs = [[src(c, f) for f in range(F)] for c in range(8)]
+                for u in us:
+                    # choice = #{c : u >= cdf_c}; cdf[7] ≈ 1 (float sum)
+                    choice = sum((u >= cdf[c]).astype(jnp.int32)
+                                 for c in range(7))
+                    idx_k = jnp.zeros_like(idx_cs[0])
+                    p_k = jnp.zeros_like(ps[0])
+                    s_k = [jnp.zeros_like(srcs[0][f]) for f in range(F)]
+                    for c in range(8):
+                        sel = choice == c
+                        idx_k = jnp.where(sel, idx_cs[c], idx_k)
+                        p_k = jnp.where(sel, ps[c], p_k)
+                        for f in range(F):
+                            s_k[f] = jnp.where(sel, srcs[c][f], s_k[f])
+                    inv = 1.0 / (K * p_k)
+                    idx_ks.append(idx_k)
+                    for f in range(F):
+                        val_ks[f].append(s_k[f] * inv)
+                idx_all = jnp.concatenate(idx_ks)
+                cols = [jnp.zeros((size,), g_out.dtype)
+                        .at[idx_all].add(jnp.concatenate(val_ks[f]),
+                                         mode="drop")
+                        for f in range(F)]
+                pieces.append(jnp.stack(cols, axis=1))
+            elif mode == "mxu":
                 idx_all = jnp.concatenate(idx_cs)
                 cf_el = jnp.stack(
                     [jnp.concatenate([src(c, f) for c in range(8)])

@@ -146,3 +146,39 @@ def test_adaptive_batch_controller_trajectory(trained):
     # (the controller aims the PRE-drop count at the slot budget)
     late = nval[-200:] / target
     assert 0.4 < np.median(late) < 2.5, np.median(late)
+
+
+def test_stochastic_corner_bwd_convergence_ab():
+    """A/B: training with the stochastic corner backward (K=2 of 8 corners
+    on hashed levels, NetworkConfig.stoch_corner_bwd) must converge to the
+    same late-phase loss as the exact 8-corner backward, within the runs'
+    own step-to-step noise. This is the convergence-parity evidence for
+    the perf knob (the unbiasedness itself is proven in
+    test_hash_encoding.py::test_stochastic_corner_bwd_unbiased)."""
+    from rnb_neus2_tpu.config import NetworkConfig
+
+    def run(k):
+        ds = sphere_dataset(n_views=8, width=32, height=32, radius=RADIUS)
+        cfg = TestbedConfig(
+            # log2_hashmap_size=10 forces the top levels to HASH (the
+            # stochastic path only exists for hashed levels)
+            grid=HashGridConfig(n_levels=4, top_resolution=64,
+                                log2_hashmap_size=10),
+            network=NetworkConfig(stoch_corner_bwd=k),
+            train=TrainConfig(target_batch_size=1 << 13,
+                              initial_rays_per_batch=128,
+                              occ_grid_size=32, seed=0),
+            march=MarchConfig(n_ladder=512),
+        )
+        tr = Trainer(ds, cfg)
+        losses = [tr.train_step()["loss_color"] for _ in range(500)]
+        return np.asarray(losses, np.float64)
+
+    a, b = run(0), run(2)
+    assert not np.allclose(a[-50:], b[-50:])   # paths really differ
+    tail_a, tail_b = a[-150:], b[-150:]
+    gap = abs(tail_a.mean() - tail_b.mean())
+    noise = 0.5 * (tail_a.std() + tail_b.std())
+    assert gap < 2.0 * noise, (gap, noise)
+    assert tail_a.mean() < 3.0 * tail_b.mean() + 1e-4
+    assert tail_b.mean() < 3.0 * tail_a.mean() + 1e-4
