@@ -243,6 +243,12 @@ class TrainConfig:
     # A/B-quantifies the divergence's effect on the loss trajectory
     # (tests/test_train_e2e.py::test_light_prng_divergence_within_noise).
     light_prng_salt: int = 0
+    # steady-state steps fused into one jitted [occupancy refresh +
+    # lax.scan] chunk by Trainer.train_steps (must stay a multiple of the
+    # steady refresh cadence 16, testbed.cu:2801). Amortizes the per-step
+    # jit dispatch/RPC gap (~50 ms over the axon tunnel). 1 = always
+    # per-step. Math and PRNG stream are identical either way.
+    fused_steps: int = 16
 
 
 @dataclasses.dataclass(frozen=True)

@@ -100,12 +100,16 @@ class Trainer:
         return L
 
     def _make_step_fn(self, n_rays: int, n_active: int):
+        return jax.jit(self._raw_step_fn(n_rays, n_active))
+
+    def _raw_step_fn(self, n_rays: int, n_active: int):
+        """The un-jitted single-step body (jitted directly for the
+        per-step path; embedded in a lax.scan by _make_chunk_fn)."""
         cfg = self.cfg
         field = self.field
         tx = self.tx
         n_slots = cfg.train.target_batch_size
 
-        @jax.jit
         def step_fn(params, opt_state, emap, bitfield, key, step):
             batch, samples, pos, (img, xy) = sample_ray_batch(
                 self.dataset, bitfield, key, n_rays, n_slots, cfg.march,
@@ -153,6 +157,11 @@ class Trainer:
         key = ("occ", n_active, subsampled)
         if key in self._compiled:
             return self._compiled[key]
+        occ_fn = jax.jit(self._raw_occ_fn(n_active, subsampled))
+        self._compiled[key] = occ_fn
+        return occ_fn
+
+    def _raw_occ_fn(self, n_active: int, subsampled: bool):
         field = self.field
         decay = self.cfg.train.density_grid_decay
 
@@ -167,7 +176,6 @@ class Trainer:
         chunk = min(M, 1 << 20)
         n_chunks = -(-M // chunk)
 
-        @jax.jit
         def occ_fn(params, occ_state, key, step):
             vl = valid_level_for_step(self.cfg.grid, step)
             if subsampled:
@@ -182,8 +190,49 @@ class Trainer:
                 return occupancy.update_sampled(occ_state, idx, dens, decay)
             return occupancy.update(occ_state, dens, decay)
 
-        self._compiled[key] = occ_fn
         return occ_fn
+
+    def _make_chunk_fn(self, n_rays: int, n_active: int, chunk: int):
+        """[occupancy refresh + `chunk` training steps] as ONE jitted call.
+
+        Per-step jit dispatch over the axon tunnel costs ~50 ms of host/RPC
+        gap (device traces, DESIGN.md kernel war round 3) — ~9% of the step
+        at full size. In steady state (step ≥ 256) the refresh cadence is a
+        constant 16 (testbed.cu:2801), so the natural fusion unit is
+        [refresh, 16 × step] under one jit with the steps in a lax.scan:
+        identical math and PRNG stream to the per-step path (the key is
+        split in the same order), dispatch cost amortized 16×. The
+        adaptive-rays controller already only acts on sync boundaries in
+        async mode, so chunk-granular adaptation matches existing
+        semantics. Used by train_steps; train_step keeps the per-step path
+        (tests, logging, non-aligned phases)."""
+        key = ("chunk", n_rays, n_active, chunk)
+        if key in self._compiled:
+            return self._compiled[key]
+        raw_step = self._raw_step_fn(n_rays, n_active)
+        raw_occ = self._raw_occ_fn(n_active, subsampled=True)
+
+        @functools.partial(jax.jit, donate_argnums=(0, 1, 2, 3))
+        def chunk_fn(params, opt_state, emap, occ_state, key, step0):
+            key, k_occ = jax.random.split(key)
+            occ_state = raw_occ(params, occ_state, k_occ, step0)
+
+            def body(carry, i):
+                params, opt_state, emap, key = carry
+                key, k = jax.random.split(key)
+                params, opt_state, emap, metrics = raw_step(
+                    params, opt_state, emap, occ_state.bitfield, k,
+                    step0 + i)
+                return (params, opt_state, emap, key), metrics
+
+            (params, opt_state, emap, key), ms = jax.lax.scan(
+                body, (params, opt_state, emap, key),
+                jnp.arange(chunk, dtype=jnp.int32))
+            last = jax.tree_util.tree_map(lambda x: x[-1], ms)
+            return params, opt_state, emap, occ_state, key, last
+
+        self._compiled[key] = chunk_fn
+        return chunk_fn
 
     # ------------------------------------------------------------------
     # host loop
@@ -249,13 +298,42 @@ class Trainer:
 
     def train_steps(self, n: int, sync_every: int = 10
                     ) -> Dict[str, float]:
-        """Run n steps, syncing metrics only every sync_every steps."""
-        out = {}
-        metrics = None
-        for i in range(n):
-            metrics = self.train_step_async()
-            if (i + 1) % sync_every == 0 or i == n - 1:
-                out = self._consume_metrics(metrics)
+        """Run n steps, syncing metrics only every sync_every steps.
+
+        In steady state (step ≥ 256, refresh cadence 16, no error-map
+        rebuild due) steps are dispatched as fused 16-step scan chunks
+        (_make_chunk_fn) — same math and PRNG stream, 16× less per-step
+        dispatch overhead. Metric consumption is deferred to sync
+        boundaries so chunk dispatches pipeline on the device queue."""
+        out: Dict[str, float] = {}
+        pending = None
+        done = 0
+        last_sync = 0
+        chunk = self.cfg.train.fused_steps
+        while done < n:
+            eligible = (chunk > 1 and self.step >= 256
+                        and self.step % 16 == 0 and chunk % 16 == 0
+                        and n - done >= chunk
+                        and self._emap_counter + chunk < self._emap_interval)
+            if eligible:
+                r, lb = self._bucket(), self._level_bucket()
+                fn = self._make_chunk_fn(r, lb, chunk)
+                (self.params, self.opt_state, self.emap, self.occ,
+                 self.key, metrics) = fn(
+                    self.params, self.opt_state, self.emap, self.occ,
+                    self.key, jnp.int32(self.step))
+                self.step += chunk
+                self._emap_counter += chunk
+                metrics = dict(metrics)
+                metrics["rays_per_batch"] = r
+                pending = metrics
+                done += chunk
+            else:
+                pending = self.train_step_async()
+                done += 1
+            if done - last_sync >= sync_every or done >= n:
+                out = self._consume_metrics(pending)
+                last_sync = done
         return out
 
     def train_step(self) -> Dict[str, float]:
