@@ -37,18 +37,16 @@ def main():
     # cadence is 16 (testbed.cu:2801), matching a real 10k-step run's
     # amortized cost (early steps refresh every step and would dominate a
     # short measurement window)
-    tr.step = 600
-    # cross one occupancy refresh (every 16 steps) so the steady-state
-    # subsampled occ_fn compiles BEFORE the timed window
-    for _ in range(20):
-        tr.train_step()
+    tr.step = 608   # steady state, 16-aligned for the fused-chunk path
+    # warm window: compiles the steady-state subsampled occ refresh AND
+    # the fused 16-step scan chunk BEFORE the timed window
+    tr.train_steps(32, sync_every=16)
 
-    n_steps = 32
-    # async stepping: metrics sync every 8 steps (the per-step host
-    # readback would serialize the device queue, especially over remote
-    # transports); the final sync bounds the wall clock
+    n_steps = 48
+    # fused stepping: steps dispatch as [refresh + 16-step scan] chunks
+    # (train_steps); metrics sync bounds the wall clock
     t0 = time.perf_counter()
-    out = tr.train_steps(n_steps, sync_every=8)
+    out = tr.train_steps(n_steps, sync_every=16)
     dt = time.perf_counter() - t0
     rays = out["rays_per_batch"] * n_steps
 

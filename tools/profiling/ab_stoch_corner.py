@@ -23,12 +23,11 @@ def measure(k: int) -> float:
     tr = Trainer(ds, cfg)
     for _ in range(20):
         tr.train_step()
-    tr.step = 600
-    for _ in range(20):
-        tr.train_step()
-    n = 32
+    tr.step = 608
+    tr.train_steps(32, sync_every=16)   # compile chunk + steady occ
+    n = 48
     t0 = time.perf_counter()
-    tr.train_steps(n, sync_every=8)
+    tr.train_steps(n, sync_every=16)
     dt = time.perf_counter() - t0
     return dt / n * 1e3
 
