@@ -62,6 +62,9 @@ def build_argparser():
                    help="occupancy grid resolution (0 = reference 128)")
     p.add_argument("--n-ladder", type=int, default=0,
                    help="ray-march ladder length (0 = reference 1024)")
+    p.add_argument("--stoch-corner-bwd", type=int, default=0,
+                   help="K>0: unbiased K-corner stochastic hash-grid "
+                        "backward on hashed levels (0 = exact 8-corner)")
     p.add_argument("--render-path", default="",
                    help="camera-path JSON (render/camera_path.py layout); "
                         "renders a fly-through after training")
@@ -111,8 +114,12 @@ def make_config(args):
         march = dataclasses.replace(march, n_ladder=args.n_ladder)
     if args.disable_snap_to_center:
         march = dataclasses.replace(march, snap_to_pixel_centers=False)
+    network = cfg.network
+    if args.stoch_corner_bwd:
+        network = dataclasses.replace(
+            network, stoch_corner_bwd=args.stoch_corner_bwd)
     return dataclasses.replace(cfg, flags=flags, loss=loss, train=train,
-                               march=march)
+                               march=march, network=network)
 
 
 def run(args) -> int:

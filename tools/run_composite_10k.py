@@ -30,6 +30,9 @@ def main():
     ap.add_argument("--max-steps", type=int, default=10000)
     ap.add_argument("--resolution", type=int, default=512)
     ap.add_argument("--gt-resolution", type=int, default=384)
+    ap.add_argument("--stoch-corner-bwd", type=int, default=0,
+                    help="K>0: run with the stochastic corner backward "
+                         "(A/B against the exact default)")
     args = ap.parse_args()
 
     from rnb_neus2_tpu.cli import pipeline
@@ -37,8 +40,11 @@ def main():
     from rnb_neus2_tpu.mesh.writer import load_obj
     from rnb_neus2_tpu.testing.synthetic import composite_gt_mesh
 
+    common = []
+    if args.stoch_corner_bwd:
+        common += ["--stoch-corner-bwd", str(args.stoch_corner_bwd)]
     t0 = time.time()
-    pipeline.run_two_stage(args.scene, args.max_steps, common_flags=[],
+    pipeline.run_two_stage(args.scene, args.max_steps, common_flags=common,
                            resolution=args.resolution)
     t_train = time.time() - t0
     log.info("two-stage pipeline done in %.1f s", t_train)
