@@ -141,10 +141,17 @@ def test_adaptive_batch_controller_trajectory(trained):
     target = 1 << 13
     # (a) first step uses the initial bucket
     assert rays[0] == 128
-    # (b) monotone-ish ramp: late median rays well above the start
-    assert np.median(rays[-200:]) >= 4 * rays[0]
+    # (b) ramp: late median rays above the start. Under the reference's
+    # uniform-sampling default each ray on this tiny scene yields ~30
+    # valid samples, so the budget saturates at 2x the initial bucket
+    # (256 rays x ~30 = ~7.7k of the 8192 budget) — the controller
+    # correctly STOPS ramping there. (The >=4x ramp seen previously was
+    # an artifact of error-proportional sampling concentrating rays on
+    # few-sample silhouette texels.)
+    assert np.median(rays[-200:]) >= 2 * rays[0]
     # (c) steady state: generated samples track the budget within 2x
-    # (the controller aims the PRE-drop count at the slot budget)
+    # (the controller aims the PRE-drop count at the slot budget) —
+    # THE controller contract (testbed_nerf.cu:3554-3555)
     late = nval[-200:] / target
     assert 0.4 < np.median(late) < 2.5, np.median(late)
 
