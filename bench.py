@@ -50,7 +50,9 @@ def main():
     dt = time.perf_counter() - t0
     rays = out["rays_per_batch"] * n_steps
 
-    n_chips = max(len(jax.devices()), 1)
+    # the Trainer above runs on ONE chip regardless of visible devices
+    # (multi-chip uses parallel.mesh, exercised by the driver's dryrun)
+    n_chips = 1
     rays_per_sec = rays / dt / n_chips
     step_ms = dt / n_steps * 1e3
     projected_10k_s = 10_000 * dt / n_steps * n_chips  # chip-seconds
