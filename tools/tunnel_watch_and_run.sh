@@ -27,6 +27,14 @@ for attempt in 1 2 3; do
   echo "[watch] run exited rc=$rc at $(date)" >> /tmp/tunnel_watch.log
   if [ $rc -eq 0 ]; then
     echo "[watch] run SUCCEEDED" >> /tmp/tunnel_watch.log
+    # post-run TPU checklist, unattended (each bounded; failures non-fatal)
+    echo "[watch] ab_stoch_corner:" >> /tmp/tunnel_watch.log
+    timeout 3000 python tools/profiling/ab_stoch_corner.py 0 2 1 \
+      > /tmp/ab_stoch_corner.log 2>&1
+    tail -5 /tmp/ab_stoch_corner.log >> /tmp/tunnel_watch.log
+    echo "[watch] bench:" >> /tmp/tunnel_watch.log
+    timeout 3000 python bench.py > /tmp/bench_r2.log 2>&1
+    tail -2 /tmp/bench_r2.log >> /tmp/tunnel_watch.log
     exit 0
   fi
 done
