@@ -54,12 +54,34 @@ def main():
     V, F = load_obj(mesh_path)
     log.info("mesh: %d verts, %d faces", len(V), len(F))
 
+    # stage-1 mesh through the IDENTICAL extraction path (CLI no-op train
+    # from the stage-1 snapshot): evidence that stage 2 (opti-lights)
+    # improves the surface, per the reference's two-stage rationale
+    it1 = int(args.max_steps * 2 / 3)
+    snap1 = os.path.join(args.scene, "output", f"snapshot_{it1}.msgpack")
+    ch1 = {}
+    if os.path.exists(snap1):
+        from rnb_neus2_tpu.cli import testbed
+        rc = testbed.main(["--scene", args.scene, "--maxiter", str(it1),
+                           "--no-gui", "--snapshot", snap1, "--save-mesh",
+                           "--resolution", str(args.resolution)] + common)
+        mesh1 = os.path.join(args.scene, "output", f"mesh_{it1}.obj")
+        if rc == 0 and os.path.exists(mesh1):
+            V1, F1 = load_obj(mesh1)
+        else:
+            V1 = None
+    else:
+        V1 = None
+
     t1 = time.time()
     Vg, Fg = composite_gt_mesh(args.gt_resolution)
     # GT is in unit-cube coords; the pipeline mesh is world
     # (world = (unit − offset)/scale, scale .5 offset .5)
     Vg = (Vg - 0.5) / 0.5
     ch = chamfer_distance(V, F, Vg, Fg)
+    if V1 is not None:
+        ch1 = {f"stage1_{k}": round(v, 6)
+               for k, v in chamfer_distance(V1, F1, Vg, Fg).items()}
     log.info("GT mesh (%d verts) + chamfer in %.1f s", len(Vg),
              time.time() - t1)
 
@@ -68,7 +90,9 @@ def main():
         "mesh_vertices": int(len(V)),
         "max_steps": args.max_steps,
         "resolution": args.resolution,
+        "stoch_corner_bwd": args.stoch_corner_bwd,
         **{k: round(v, 6) for k, v in ch.items()},
+        **ch1,
     }
     out = os.path.join(args.scene, "output", "chamfer.json")
     with open(out, "w") as f:
