@@ -130,10 +130,10 @@ class NetworkConfig:
     # MXU-bound), so fp32 stays the default for numeric headroom; flip
     # this when the arithmetic share of the step grows.
     compute_dtype: str = "float32"
-    # Stochastic corner backward for HASHED hash-grid levels: 0 = exact
-    # 8-corner scatter (the reference's kernel_grid_backward_grid
-    # semantics, grid.h:~400). K>0 scatters only K importance-sampled
-    # corners per sample (unbiased estimator, K/8 of the scatter
+    # Stochastic corner backward for the hash-grid: 0 = exact 8-corner
+    # scatter (the reference's kernel_grid_backward_grid semantics,
+    # grid.h:~400). K>0 scatters only K importance-sampled corners per
+    # sample on every level (unbiased estimator, K/8 of the scatter
     # elements — the dominant v5e step cost; see
     # hash_encoding.make_encode_with_jacobian_cv). Convergence-validated
     # by tests/test_hash_encoding.py (unbiasedness) and the A/B in

@@ -525,19 +525,20 @@ def make_encode_with_jacobian_cv(static: HashGridStatic,
     unlocking, grid.h:1430-1436): locked levels emit zeros WITHOUT any
     gather/scatter — the trainer compiles one variant per level bucket.
 
-    corner_samples > 0 enables the STOCHASTIC corner backward for hashed
-    levels: instead of scattering all 8 trilinear corners per sample
-    (the reference's exact kernel_grid_backward_grid, and our default),
-    each sample scatters `corner_samples` corners drawn with replacement
-    from the importance mixture p_c = w_c/2 + 1/16, each contribution
-    divided by (K·p_c) — an unbiased estimator of the exact table
-    gradient with K/8 of the scatter elements. The width-1 scatter floor
-    (6.7 ns/source-element on v5e, DESIGN.md "Kernel war") makes the 9
-    hashed levels' 8-corner scatters the single largest step cost; K=2
-    cuts that 4×. Dense levels keep their exact (cheaper) formulations.
-    Draws are a hash of the sample position bits (`_hash_uniforms`) —
-    fresh random rays each step decorrelate them across steps;
-    corner_salt selects an independent draw stream.
+    corner_samples > 0 enables the STOCHASTIC corner backward: instead of
+    scattering all 8 trilinear corners per sample (the reference's exact
+    kernel_grid_backward_grid, and our default), each sample scatters
+    `corner_samples` corners drawn with replacement from the importance
+    mixture p_c = w_c/2 + 1/16, each contribution divided by (K·p_c) — an
+    unbiased estimator of the exact table gradient with K/8 of the
+    scatter elements. The width-1 scatter floor (6.7 ns/source-element on
+    v5e, DESIGN.md "Kernel war") makes the 8-corner scatters the single
+    largest step cost; K=2 cuts the hashed levels 4× and undercuts even
+    the exact dense formulations, so it applies to every level (coarse
+    levels see the least noise: their per-slot gradients average many
+    samples). Draws are a hash of the sample position bits
+    (`_hash_uniforms`) — fresh random rays each step decorrelate them
+    across steps; corner_salt selects an independent draw stream.
     """
     cfg = static.cfg
     L = cfg.n_levels
@@ -627,7 +628,13 @@ def make_encode_with_jacobian_cv(static: HashGridStatic,
                 return s
 
             mode = _bwd_formulation(static, lvl, on_tpu)
-            if corner_samples and mode == "width1":
+            if corner_samples and _SCATTER_MODE == "auto":
+                # stochastic K-corner backward for EVERY level: at K=2 its
+                # 2 width-1 scatter elements/sample (~3.5 ms/level at 2^18)
+                # undercut even the exact dense formulations (nbhd 15.5,
+                # mxu 8.5). Dense/coarse levels see the least noise — their
+                # per-slot gradients average hundreds of samples. Forced
+                # _SCATTER_MODE (test oracles) bypasses this.
                 mode = "stoch"
             if mode == "stoch":
                 # stochastic corner backward (see factory docstring):

@@ -209,8 +209,9 @@ def test_cv_gradient_matches_autodiff_oracle(monkeypatch):
 
 def test_stochastic_corner_bwd_unbiased():
     """The K-corner importance-sampled backward (stoch_corner_bwd) is an
-    unbiased estimator of the exact table gradient on hashed levels, and
-    leaves dense levels bit-identical (they keep exact formulations).
+    unbiased estimator of the exact table gradient (it applies to every
+    level when enabled — dense levels' per-slot noise just averages out
+    over far more samples).
 
     MC convergence is checked along the cheap axis (K draws within one
     compiled graph): err(K=64) must shrink vs err(K=2) roughly like
@@ -244,19 +245,14 @@ def test_stochastic_corner_bwd_unbiased():
         static, corner_samples=16, corner_salt=s))
         for s in range(n_salts)) / n_salts
 
-    # dense levels: exact regardless of the knob
-    dense_end = int(static.offsets[int(np.argmax(static.hashed))])
-    np.testing.assert_allclose(g_k2[:dense_end], g_exact[:dense_end],
-                               rtol=1e-6, atol=1e-7)
-    # hashed levels: L2 error must shrink like 1/sqrt(K) toward the exact
+    # whole-table L2 error must shrink like 1/sqrt(K) toward the exact
     # gradient (a biased estimator would plateau at its bias). Measured on
     # this fixture: relL2 = 1.62 (K=2), 0.30 (K=64), 0.17 (12x16 salts) —
     # exactly the predicted sqrt ratios.
-    hx = g_exact[dense_end:]
-    l2 = np.linalg.norm(hx)
-    err2 = np.linalg.norm(g_k2[dense_end:] - hx) / l2
-    err64 = np.linalg.norm(g_k64[dense_end:] - hx) / l2
-    err_salt = np.linalg.norm(g_salt[dense_end:] - hx) / l2
+    l2 = np.linalg.norm(g_exact)
+    err2 = np.linalg.norm(g_k2 - g_exact) / l2
+    err64 = np.linalg.norm(g_k64 - g_exact) / l2
+    err_salt = np.linalg.norm(g_salt - g_exact) / l2
     assert err2 > 0.05          # the estimator is actually stochastic
     # sqrt(64/2) = 5.66x expected shrink (measured 5.34)
     assert 3.5 < err2 / err64 < 8.0, (err2, err64)
