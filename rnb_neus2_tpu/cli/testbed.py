@@ -139,7 +139,16 @@ def run(args) -> int:
                 f"{dataset.resolution[0]}x{dataset.resolution[1]}")
 
     cfg = make_config(args)
-    trainer = Trainer(dataset, cfg)
+    import jax
+    n_avail = len(jax.devices())
+    n_chips = args.n_chips or n_avail
+    if n_chips > 1 and n_avail > 1:
+        from ..parallel.trainer import ParallelTrainer
+        trainer = ParallelTrainer(dataset, cfg, n_chips=min(n_chips,
+                                                            n_avail))
+        logger.info(f"Data-parallel over {trainer.n_dev} devices")
+    else:
+        trainer = Trainer(dataset, cfg)
 
     if args.snapshot:
         if not os.path.exists(args.snapshot):

@@ -246,7 +246,7 @@ class NeusField:
         """
         n = x.shape[0]
         if n <= chunk:
-            return self.apply(params, x, valid_level)
+            return self.apply(params, x, valid_level, n_active)
         assert n % chunk == 0, (n, chunk)
         outs = jax.lax.map(
             lambda xx: self.apply(params, xx, valid_level, n_active),

@@ -82,3 +82,41 @@ def test_parallel_grad_matches_structure(setup):
     for leaf in jax.tree_util.tree_leaves(p):
         assert np.isfinite(np.asarray(leaf)).all()
     assert float(metrics["n_samples_kept"]) > 0
+
+
+def test_parallel_trainer_host_loop(setup):
+    """ParallelTrainer drives the FULL inherited host loop (occupancy
+    cadence, adaptive buckets, fused 16-step scan chunks) over the
+    8-device CPU mesh: loss falls, controller tracks the budget, and the
+    fused-chunk path actually executes."""
+    from rnb_neus2_tpu.parallel.trainer import ParallelTrainer
+
+    ds, cfg, _, _ = setup
+    tr = ParallelTrainer(ds, cfg)
+    assert tr.n_dev == 8
+    first = tr.train_step()["loss_total"]
+    for _ in range(39):
+        out = tr.train_step()
+    tr.step = 256                       # steady state, 16-aligned
+    out = tr.train_steps(32, sync_every=16)
+    assert tr.step == 288               # two fused chunks consumed
+    assert ("chunk", tr._bucket(), tr._level_bucket(), 16) in tr._compiled
+    assert np.isfinite(out["loss_total"])
+    assert out["loss_total"] < first
+    assert out["n_valid_total"] > 0
+
+
+def test_parallel_trainer_matches_single_chip_loss(setup):
+    """Same seed, same scene: the parallel trainer's loss trajectory must
+    track the single-chip trainer's (not bit-equal — ray batches shard
+    differently — but converging the same way)."""
+    from rnb_neus2_tpu.parallel.trainer import ParallelTrainer
+    from rnb_neus2_tpu.train.trainer import Trainer
+
+    ds, cfg, _, _ = setup
+    a, b = Trainer(ds, cfg), ParallelTrainer(ds, cfg)
+    la = [a.train_step()["loss_total"] for _ in range(60)]
+    lb = [b.train_step()["loss_total"] for _ in range(60)]
+    la, lb = np.asarray(la[-15:]), np.asarray(lb[-15:])
+    assert np.isfinite(la).all() and np.isfinite(lb).all()
+    assert abs(la.mean() - lb.mean()) < 3 * (la.std() + lb.std() + 1e-5)
