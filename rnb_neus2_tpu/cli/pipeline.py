@@ -55,25 +55,68 @@ def run_testbed(scene_path, max_iter, flags, stage_name, logger=None,
     logger.info(f"{stage_name} completed")
 
 
+def _latest_snapshot_step(out_dir):
+    """(path, step) of output/snapshot_latest.msgpack, or (None, -1).
+    Written atomically by the testbed's --snapshot-each; unreadable files
+    (a crash mid-replace cannot happen, but a truncated disk write can)
+    count as absent."""
+    path = os.path.join(out_dir, "snapshot_latest.msgpack")
+    if not os.path.exists(path):
+        return None, -1
+    try:
+        from ..train import snapshot as snap
+        return path, int(snap.load_snapshot(path)["step"])
+    except Exception:
+        return None, -1
+
+
 def run_two_stage(data_dir, max_steps, common_flags, resolution=1024,
                   no_albedo=False, extra_flags=None, logger=None,
-                  use_subprocess=False):
+                  use_subprocess=False, resume=False):
+    """Two-stage training (reference pipeline.py:56-103). With
+    `resume=True` (TPU extra, no reference analog: the CUDA testbed runs
+    local, we run over a preemptible remote-device transport) completed
+    stages are skipped and interrupted ones continue from the rolling
+    --snapshot-each checkpoint instead of restarting."""
     logger = logger or Logger()
     iter_stage1 = int(max_steps * 2 / 3)
-
-    stage1 = list(common_flags) + ["--save-snapshot"]
-    if no_albedo:
-        stage1.append("--no-albedo")
-    if extra_flags:
-        stage1.extend(extra_flags)
-    logger.info(f"Stage 1: {iter_stage1} iterations")
-    run_testbed(data_dir, iter_stage1, stage1, "Stage 1", logger,
-                use_subprocess)
-
     out_dir = os.path.join(data_dir, "output")
-    snapshot = os.path.join(out_dir, f"snapshot_{iter_stage1}.msgpack")
+
+    stage1_snap = os.path.join(out_dir, f"snapshot_{iter_stage1}.msgpack")
+    latest, latest_step = (None, -1)
+    if resume:
+        latest, latest_step = _latest_snapshot_step(out_dir)
+    skip_stage1 = resume and (os.path.exists(stage1_snap)
+                              or latest_step >= iter_stage1)
+
+    if skip_stage1:
+        logger.info(f"Stage 1: already at step >= {iter_stage1}, skipping")
+    else:
+        stage1 = list(common_flags) + ["--save-snapshot"]
+        if resume and latest and 0 <= latest_step < iter_stage1:
+            logger.info(f"Stage 1: resuming from step {latest_step}")
+            stage1 += ["--snapshot", latest]
+        if no_albedo:
+            stage1.append("--no-albedo")
+        if extra_flags:
+            stage1.extend(extra_flags)
+        logger.info(f"Stage 1: {iter_stage1} iterations")
+        run_testbed(data_dir, iter_stage1, stage1, "Stage 1", logger,
+                    use_subprocess)
+
+    final_snap = os.path.join(out_dir, f"snapshot_{max_steps}.msgpack")
+    final_mesh = os.path.join(out_dir, f"mesh_{max_steps}.obj")
+    if resume and os.path.exists(final_snap) and os.path.exists(final_mesh):
+        logger.info("Stage 2: already complete, skipping")
+        return
+
+    snapshot = stage1_snap
     if not os.path.exists(snapshot):
         snapshot = os.path.join(data_dir, f"snapshot_{iter_stage1}.msgpack")
+    if resume and latest and latest_step > iter_stage1:
+        # mid-stage-2 checkpoint beats restarting stage 2 from its start
+        logger.info(f"Stage 2: resuming from step {latest_step}")
+        snapshot = latest
     if not os.path.exists(snapshot):
         raise RuntimeError(
             f"Snapshot not found after {iter_stage1} iterations")

@@ -65,6 +65,9 @@ def build_argparser():
     p.add_argument("--stoch-corner-bwd", type=int, default=0,
                    help="K>0: unbiased K-corner stochastic hash-grid "
                         "backward on hashed levels (0 = exact 8-corner)")
+    p.add_argument("--snapshot-each", type=int, default=0,
+                   help="write output/snapshot_latest.msgpack every N "
+                        "steps (atomic; crash/outage resume point)")
     p.add_argument("--render-path", default="",
                    help="camera-path JSON (render/camera_path.py layout); "
                         "renders a fly-through after training")
@@ -176,6 +179,9 @@ def run(args) -> int:
         if args.save_each:
             boundaries.append(
                 (trainer.step // args.save_each + 1) * args.save_each)
+        if args.snapshot_each:
+            boundaries.append((trainer.step // args.snapshot_each + 1)
+                              * args.snapshot_each)
         target = min(boundaries)
         trainer.train_steps(target - trainer.step, sync_every=25)
         if trainer.step % 100 == 0 or trainer.step >= args.maxiter:
@@ -184,6 +190,12 @@ def run(args) -> int:
         if args.save_each and trainer.step % args.save_each == 0 \
                 and trainer.step < args.maxiter:
             save_mesh_now(trainer.step)
+        if args.snapshot_each \
+                and trainer.step % args.snapshot_each == 0 \
+                and trainer.step < args.maxiter:
+            latest = os.path.join(out_dir, "snapshot_latest.msgpack")
+            snap.save_snapshot(latest + ".tmp", trainer)
+            os.replace(latest + ".tmp", latest)
 
     if args.save_mesh:
         save_mesh_now(args.maxiter)

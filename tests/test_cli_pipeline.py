@@ -17,8 +17,12 @@ from rnb_neus2_tpu.testing.synthetic import write_prepared_scene
 
 pytestmark = pytest.mark.slow  # two-stage e2e training
 
+# --n-chips 1: keep CLI e2e tests on the single-chip Trainer — the
+# conftest's 8-device virtual CPU mesh would trigger the CLI's
+# data-parallel auto-selection, 8 shard_map programs on one physical
+# core (ParallelTrainer has its own dedicated tests in test_parallel.py)
 SMALL = ["--target-batch-size", "8192", "--occ-grid-size", "32",
-         "--n-ladder", "512"]
+         "--n-ladder", "512", "--n-chips", "1"]
 RADIUS = 0.2
 
 
@@ -70,6 +74,42 @@ def test_two_stage_pipeline_end_to_end(scene):
     assert os.path.exists(final)
     V2, _ = load_obj(final)
     assert len(V2) > 50
+
+
+def test_two_stage_resume_from_rolling_snapshot(tmp_path):
+    """Outage recovery: a run killed mid-stage-1 leaves the rolling
+    --snapshot-each checkpoint; run_two_stage(resume=True) continues from
+    it (not from scratch), finishes both stages, and a second resume call
+    is a no-op skip."""
+    scene = str(tmp_path / "scene")
+    write_prepared_scene(scene, n_views=8, width=32, height=32,
+                         radius=RADIUS)
+    out = os.path.join(scene, "output")
+
+    # simulate a stage-1 run that died at step ~120 of 240: the testbed
+    # got through one --snapshot-each boundary before the transport
+    # dropped (boundary == maxiter writes no rolling snapshot, so train
+    # one step past it)
+    rc = testbed.main(["--scene", scene, "--maxiter", "121", "--no-gui",
+                       "--snapshot-each", "120"] + SMALL)
+    assert rc == 0
+    latest = os.path.join(out, "snapshot_latest.msgpack")
+    assert os.path.exists(latest)
+    path, step = pipeline._latest_snapshot_step(out)
+    assert step == 120
+
+    pipeline.run_two_stage(scene, max_steps=360, common_flags=SMALL,
+                           resolution=48, no_albedo=True, resume=True)
+    assert os.path.exists(os.path.join(out, "snapshot_240.msgpack"))
+    assert os.path.exists(os.path.join(out, "mesh_360.obj"))
+
+    # fully complete → resume is an instant double-skip (no training, no
+    # new mesh extraction): mesh mtime unchanged
+    mesh = os.path.join(out, "mesh_360.obj")
+    mtime = os.path.getmtime(mesh)
+    pipeline.run_two_stage(scene, max_steps=360, common_flags=SMALL,
+                           resolution=48, no_albedo=True, resume=True)
+    assert os.path.getmtime(mesh) == mtime
 
 
 def test_testbed_cli_flags_parse():

@@ -40,12 +40,34 @@ def main():
     from rnb_neus2_tpu.mesh.writer import load_obj
     from rnb_neus2_tpu.testing.synthetic import composite_gt_mesh
 
-    common = []
+    common = ["--snapshot-each", "500"]
     if args.stoch_corner_bwd:
         common += ["--stoch-corner-bwd", str(args.stoch_corner_bwd)]
-    t0 = time.time()
-    pipeline.run_two_stage(args.scene, args.max_steps, common_flags=common,
-                           resolution=args.resolution)
+    t0 = float(os.environ.setdefault("_RNB_RUN10K_T0", str(time.time())))
+    # the remote-device tunnel drops every few hours; on failure, wait for
+    # the tunnel and re-exec (a wedged jax runtime needs a fresh process) —
+    # run_two_stage(resume=True) continues from snapshot_latest.msgpack.
+    # Attempt count rides the environment across execs.
+    attempt = int(os.environ.get("_RNB_RUN10K_ATTEMPT", "0"))
+    try:
+        pipeline.run_two_stage(args.scene, args.max_steps,
+                               common_flags=common,
+                               resolution=args.resolution, resume=True)
+    except Exception as e:
+        log.warning("attempt %d failed: %s", attempt + 1, e)
+        if attempt >= 4:
+            raise
+        import subprocess
+        deadline = time.time() + 3600
+        while time.time() < deadline:
+            rc = subprocess.run(
+                ["curl", "-s", "-m", "3", "-o", "/dev/null",
+                 "http://127.0.0.1:8103/"]).returncode
+            if rc == 0:
+                break
+            time.sleep(60)
+        os.environ["_RNB_RUN10K_ATTEMPT"] = str(attempt + 1)
+        os.execv(sys.executable, [sys.executable] + sys.argv)
     t_train = time.time() - t0
     log.info("two-stage pipeline done in %.1f s", t_train)
 
