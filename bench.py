@@ -14,13 +14,31 @@ Prints ONE JSON line.
 """
 
 import json
+import socket
 import time
 
-import jax
-import jax.numpy as jnp
+
+def _wait_for_transport(max_wait_s: float = 900.0) -> None:
+    """The TPU is reachable only through a remote-compile tunnel on
+    127.0.0.1:8103 that drops intermittently; jax backend init HANGS
+    (not errors) while it is down. Wait for it — bounded — before
+    importing anything that touches the backend."""
+    t0 = time.time()
+    while time.time() - t0 < max_wait_s:
+        try:
+            with socket.create_connection(("127.0.0.1", 8103), timeout=3):
+                return
+        except OSError:
+            time.sleep(20)
+    raise SystemExit(
+        "bench: TPU transport 127.0.0.1:8103 unreachable for "
+        f"{max_wait_s:.0f}s; refusing to hang in backend init")
 
 
 def main():
+    _wait_for_transport()
+    import jax
+
     from rnb_neus2_tpu.config import TestbedConfig, TrainConfig
     from rnb_neus2_tpu.testing.synthetic import sphere_dataset
     from rnb_neus2_tpu.train.trainer import Trainer
