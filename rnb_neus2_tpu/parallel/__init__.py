@@ -1,1 +1,2 @@
-from .mesh import make_mesh, sharded_grad_fn  # noqa: F401
+from .mesh import make_mesh  # noqa: F401
+from .trainer import ParallelTrainer  # noqa: F401

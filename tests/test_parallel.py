@@ -1,19 +1,16 @@
-"""Multi-chip sharding: the psum'd data-parallel gradient must equal the
-single-chip gradient on the same ray batch (up to reduction order)."""
+"""Multi-chip data parallelism (parallel.trainer.ParallelTrainer over an
+8-device virtual CPU mesh): the psum'd sharded step must train, keep
+params replicated and finite, drive the full inherited host loop, and
+statistically track the single-chip loss trajectory."""
 
 import numpy as np
 import jax
-import jax.numpy as jnp
 import pytest
 
 from rnb_neus2_tpu.config import (HashGridConfig, MarchConfig, TestbedConfig,
                                   TrainConfig)
-from rnb_neus2_tpu.models.neus_field import NeusField, init_params
-from rnb_neus2_tpu.parallel.mesh import (make_mesh, make_parallel_train_step,
-                                         sharded_occ_update_fn)
+from rnb_neus2_tpu.parallel.trainer import ParallelTrainer
 from rnb_neus2_tpu.testing.synthetic import sphere_dataset
-from rnb_neus2_tpu.train import optimizer as opt
-from rnb_neus2_tpu.grid import occupancy
 
 pytestmark = pytest.mark.slow  # 8-device CPU-mesh training steps
 
@@ -28,60 +25,33 @@ def setup():
                           occ_grid_size=32, seed=0),
         march=MarchConfig(n_ladder=512),
     )
-    field = NeusField(cfg.grid, cfg.network)
-    params = init_params(jax.random.PRNGKey(0), cfg.grid, cfg.network)
-    return ds, cfg, field, params
+    return ds, cfg
 
 
 def test_eight_device_mesh_available():
     assert len(jax.devices()) == 8
 
 
-def test_parallel_step_runs_and_trains(setup):
-    ds, cfg, field, params = setup
-    mesh = make_mesh()
-    tx = opt.make_optimizer(cfg.optimizer, params)
-    opt_state = opt.init_state(cfg.optimizer, params)
-    occ_fn = sharded_occ_update_fn(field, cfg, mesh)
-    step_fn = make_parallel_train_step(ds, field, cfg, mesh, tx,
-                                       n_rays_global=256)
-
-    occ = occupancy.init_state(cfg.train.occ_grid_size)
-    key = jax.random.PRNGKey(1)
-    occ = occ_fn(params, occ, key, jnp.int32(0))
-    assert float(occ.bitfield.mean()) > 0
-
-    losses = []
-    p, s = params, opt_state
-    for i in range(12):
-        key, k = jax.random.split(key)
-        p, s, metrics = step_fn(p, s, occ.bitfield, k, jnp.int32(i))
-        losses.append(float(metrics["loss_total"]))
-    assert np.isfinite(losses).all()
-    # params actually moved
-    delta = sum(float(jnp.abs(a - b).sum()) for a, b in
-                zip(jax.tree_util.tree_leaves(p),
-                    jax.tree_util.tree_leaves(params)))
-    assert delta > 0
-
-
-def test_parallel_grad_matches_structure(setup):
-    """Sanity: replicated outputs (grads applied) keep params synchronized
-    across devices — tree norms finite, no NaN."""
-    ds, cfg, field, params = setup
-    mesh = make_mesh()
-    tx = opt.make_optimizer(cfg.optimizer, params)
-    opt_state = opt.init_state(cfg.optimizer, params)
-    occ = occupancy.init_state(cfg.train.occ_grid_size)
-    occ_fn = sharded_occ_update_fn(field, cfg, mesh)
-    occ = occ_fn(params, occ, jax.random.PRNGKey(3), jnp.int32(0))
-    step_fn = make_parallel_train_step(ds, field, cfg, mesh, tx,
-                                       n_rays_global=512)
-    p, s, metrics = step_fn(params, opt_state, occ.bitfield,
-                            jax.random.PRNGKey(5), jnp.int32(1))
-    for leaf in jax.tree_util.tree_leaves(p):
-        assert np.isfinite(np.asarray(leaf)).all()
+def test_parallel_trainer_replicated_and_finite(setup):
+    """One sharded step: occupancy forms, params move, every leaf stays
+    finite and identical across devices (the psum'd grads + replicated
+    optimizer must keep the replicas in lockstep)."""
+    ds, cfg = setup
+    tr = ParallelTrainer(ds, cfg)
+    before = [np.asarray(l) for l in
+              jax.tree_util.tree_leaves(tr.params)]
+    metrics = tr.train_step()
+    assert float(tr.occ.bitfield.mean()) > 0
     assert float(metrics["n_samples_kept"]) > 0
+    delta = 0.0
+    for a, b in zip(before, jax.tree_util.tree_leaves(tr.params)):
+        b = np.asarray(b)
+        assert np.isfinite(b).all()
+        delta += float(np.abs(a - b).sum())
+    assert delta > 0
+    # replicated output: one logical array per leaf, fully addressable
+    for leaf in jax.tree_util.tree_leaves(tr.params):
+        assert leaf.is_fully_replicated or len(leaf.devices()) == 1
 
 
 def test_parallel_trainer_host_loop(setup):
@@ -89,9 +59,7 @@ def test_parallel_trainer_host_loop(setup):
     cadence, adaptive buckets, fused 16-step scan chunks) over the
     8-device CPU mesh: loss falls, controller tracks the budget, and the
     fused-chunk path actually executes."""
-    from rnb_neus2_tpu.parallel.trainer import ParallelTrainer
-
-    ds, cfg, _, _ = setup
+    ds, cfg = setup
     tr = ParallelTrainer(ds, cfg)
     assert tr.n_dev == 8
     first = tr.train_step()["loss_total"]
@@ -110,10 +78,9 @@ def test_parallel_trainer_matches_single_chip_loss(setup):
     """Same seed, same scene: the parallel trainer's loss trajectory must
     track the single-chip trainer's (not bit-equal — ray batches shard
     differently — but converging the same way)."""
-    from rnb_neus2_tpu.parallel.trainer import ParallelTrainer
     from rnb_neus2_tpu.train.trainer import Trainer
 
-    ds, cfg, _, _ = setup
+    ds, cfg = setup
     a, b = Trainer(ds, cfg), ParallelTrainer(ds, cfg)
     la = [a.train_step()["loss_total"] for _ in range(60)]
     lb = [b.train_step()["loss_total"] for _ in range(60)]
