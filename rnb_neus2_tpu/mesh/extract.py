@@ -20,6 +20,7 @@ src/testbed.cu:369-381 + testbed_nerf.cu:4218-4350):
 
 from __future__ import annotations
 
+import functools
 from typing import Optional
 
 import numpy as np
@@ -53,17 +54,86 @@ def _sdf_volume(field, params, pts: np.ndarray, chunk: int = 1 << 17,
     return np.concatenate(outs)[:n]
 
 
+def _mesh_on_device(field, params, res, lo, span, csdf, active, block,
+                    thresh):
+    """Fine pass + triangulation entirely on the device: positions are
+    derived on-device from the active block offsets (pushing B·3 ints,
+    not B·17³·3 floats), the (res+1)³ volume never leaves HBM, and
+    marching_cubes_device returns only V/F (the reference triangulates
+    on the GPU the same way, marching_cubes.cu:794-822). ~10× fewer
+    bytes through the remote-device transport and no 1-core host MC."""
+    from .marching_device import marching_cubes_device
+
+    npts = res + 1
+    spacing = span / res
+    cres = csdf.shape[0]
+    fine_idx = jnp.asarray(
+        np.minimum(np.arange(npts) * cres // res, cres - 1))
+    B = len(active)
+    Bpad = 1 << max(int(np.ceil(np.log2(max(B, 1)))), 0)
+    i0s = np.zeros((Bpad, 3), np.int32)
+    if B:
+        i0s[:B] = active * block
+    bpts = block + 1
+    ax_local = np.arange(bpts)
+    local = np.stack(np.meshgrid(ax_local, ax_local, ax_local,
+                                 indexing="ij"), -1).reshape(-1, 3)
+
+    @functools.partial(jax.jit, static_argnames=())
+    def build(params, csdf_j, i0s_j, n_active):
+        vol0 = csdf_j[fine_idx][:, fine_idx][:, :, fine_idx]
+        idx3 = i0s_j[:, None, :] + jnp.asarray(local, jnp.int32)[None]
+        pos = jnp.clip(lo + idx3.astype(jnp.float32) * spacing, lo,
+                       lo + span)
+        # chunked eval (2^17-point batches, like _sdf_volume): lax.map
+        # over per-block 17³ batches would serialize thousands of tiny
+        # dispims on the device queue
+        total = Bpad * bpts ** 3
+        chunk = min(1 << 17, total)
+        npad_pts = (-total) % chunk
+        posf = pos.reshape(-1, 3)
+        if npad_pts:
+            posf = jnp.concatenate(
+                [posf, jnp.zeros((npad_pts, 3), jnp.float32)], axis=0)
+        vals = jax.lax.map(
+            lambda p: field.sdf(params, p),
+            posf.reshape(-1, chunk, 3)).reshape(-1)[:total].reshape(
+                Bpad, -1)
+        flat = ((idx3[..., 0] * npts + idx3[..., 1]) * npts
+                + idx3[..., 2]).reshape(Bpad, -1)
+        live = jnp.arange(Bpad)[:, None] < n_active
+        dest = jnp.where(live, flat, npts ** 3)
+        vol = vol0.reshape(-1).at[dest.reshape(-1)].set(
+            vals.reshape(-1).astype(jnp.float32), mode="drop")
+        return vol.reshape(npts, npts, npts)
+
+    vol = build(params, jnp.asarray(csdf), jnp.asarray(i0s), jnp.int32(B))
+    return marching_cubes_device(vol, (lo, lo, lo), spacing, thresh)
+
+
 def extract_mesh(field, params, resolution: int = 512,
                  meta: Optional[SceneMeta] = None,
                  block: int = 16, coarse_factor: int = 4,
                  thresh: float = 0.0, aabb=(0.0, 1.0),
-                 with_colors: bool = False):
-    """Returns dict {V (world), F, N (vertex normals), C (colors or None)}."""
+                 with_colors: bool = False, backend: str = "auto"):
+    """Returns dict {V (world), F, N (vertex normals), C (colors or None)}.
+
+    backend: "device" keeps the fine volume in HBM and triangulates
+    there (marching_device.py); "host" pulls the volume and runs the
+    numpy MC; "auto" = device up to 640³ (the id grids fit HBM), host
+    above (26 GB host RAM at 1024³)."""
     meta = meta or SceneMeta()
     res = -(-resolution // 16) * 16
     lo, hi = aabb
     span = hi - lo
     spacing = span / res
+    if backend == "auto":
+        # device MC wins only where the volume would otherwise cross the
+        # host↔device transport AND the host core is the bottleneck; on a
+        # cpu backend the "device" is the host, so numpy MC is strictly
+        # better (no trace/compile cost)
+        backend = ("device" if res <= 640
+                   and jax.default_backend() != "cpu" else "host")
 
     # ---- coarse pass: find surface-adjacent blocks -----------------------
     cres = res // coarse_factor
@@ -87,6 +157,10 @@ def extract_mesh(field, params, resolution: int = 512,
     # vectorized table-based marching cubes over the whole grid —
     # topology-parity with the CUDA gen_vertices/gen_faces and no
     # block-seam welding (shared edges share vertex ids by construction)
+    if backend == "device":
+        V, F = _mesh_on_device(field, params, res, lo, span,
+                               csdf, active, block, thresh)
+        return _finish_mesh(field, params, V, F, meta, with_colors)
     npts = res + 1
     fine_idx = np.minimum(np.arange(npts) * cres // res, cres - 1)
     vol = csdf[np.ix_(fine_idx, fine_idx, fine_idx)].astype(np.float32)
@@ -107,6 +181,13 @@ def extract_mesh(field, params, resolution: int = 512,
             vol[x0:x0 + bpts, y0:y0 + bpts, z0:z0 + bpts] = v
 
     V, F = marching.marching_cubes_grid(vol, (lo, lo, lo), spacing, thresh)
+    return _finish_mesh(field, params, V, F, meta, with_colors)
+
+
+def _finish_mesh(field, params, V, F, meta, with_colors):
+    """Normals from the SDF gradient, optional albedo vertex colors, and
+    the unit-cube → world mapping (shared by the host and device MC
+    paths)."""
     if not len(V):
         return {"V": np.zeros((0, 3), np.float32),
                 "F": np.zeros((0, 3), np.int64),

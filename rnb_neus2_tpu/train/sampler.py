@@ -7,7 +7,8 @@ Reproduces the per-ray setup of generate_training_samples…
 - image choice: stratified img = i·n_images / n_rays (image_idx with no CDF);
 - pixel: uniform continuous xy per ray, texel looked up at floor(xy·res);
 - black-pixel skip: texels whose premultiplied linear red ≤ 0 are dropped
-  with probability 0.9 (:1264-1266);
+  when random_val ≥ 0.9, i.e. with probability 0.1 — the reference KEEPS
+  90% of black-pixel rays (:1264-1266);
 - per-ray random light index in {0,1,2} (the reference uses curand seeded
   with clock64() — non-deterministic; we use the counted PRNG, a documented
   divergence);
