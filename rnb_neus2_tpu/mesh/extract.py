@@ -108,6 +108,12 @@ def _mesh_on_device(field, params, res, lo, span, csdf, active, block,
         return vol.reshape(npts, npts, npts)
 
     vol = build(params, jnp.asarray(csdf), jnp.asarray(i0s), jnp.int32(B))
+    if res > 640:
+        # one-shot id grids would overflow HBM; slab along x (identical
+        # output, ~1/n_slabs transient footprint)
+        from .marching_device import marching_cubes_device_slabbed
+        return marching_cubes_device_slabbed(vol, (lo, lo, lo), spacing,
+                                             thresh, n_slabs=8)
     return marching_cubes_device(vol, (lo, lo, lo), spacing, thresh)
 
 
@@ -131,8 +137,10 @@ def extract_mesh(field, params, resolution: int = 512,
         # device MC wins only where the volume would otherwise cross the
         # host↔device transport AND the host core is the bottleneck; on a
         # cpu backend the "device" is the host, so numpy MC is strictly
-        # better (no trace/compile cost)
-        backend = ("device" if res <= 640
+        # better (no trace/compile cost). ≤640 runs as one jit; above,
+        # the slabbed variant keeps 1024³ (the pipeline default) in a
+        # 16 GB chip — vol 4.3 GB resident + per-slab transients.
+        backend = ("device" if res <= 1088
                    and jax.default_backend() != "cpu" else "host")
 
     # ---- coarse pass: find surface-adjacent blocks -----------------------

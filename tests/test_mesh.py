@@ -81,6 +81,34 @@ def test_device_mc_matches_host_exactly():
             assert (F0 == F1).all()
 
 
+def test_device_mc_slabbed_matches_host_exactly():
+    """The slab-along-x variant (used >640³ where one-jit id grids would
+    overflow HBM) must also be output-identical: slabbing keeps every
+    per-axis raster contiguous, so global ids are bases + local ranks —
+    including the cross-slab boundary-plane references."""
+    from rnb_neus2_tpu.mesh.marching import marching_cubes_grid
+    from rnb_neus2_tpu.mesh.marching_device import (
+        marching_cubes_device_slabbed)
+
+    rng = np.random.default_rng(1)
+    ax = np.linspace(0, 1, 33, dtype=np.float32)
+    X, Y, Z = np.meshgrid(ax, ax, ax, indexing="ij")
+    sphere = (0.3 - np.sqrt((X - .5) ** 2 + (Y - .5) ** 2
+                            + (Z - .5) ** 2)).astype(np.float32)
+    cases = [(sphere, 4), (sphere, 8),
+             (rng.normal(size=(33, 25, 29)).astype(np.float32), 8),
+             (np.ones((17, 19, 23), np.float32), 4),
+             (rng.normal(size=(9, 9, 9)).astype(np.float32), 2)]
+    for vol, ns in cases:
+        V0, F0 = marching_cubes_grid(vol, (0.1, 0.2, 0.3), 0.05, 0.0)
+        V1, F1 = marching_cubes_device_slabbed(vol, (0.1, 0.2, 0.3),
+                                               0.05, 0.0, n_slabs=ns)
+        assert V0.shape == V1.shape and F0.shape == F1.shape
+        if len(V0):
+            assert np.abs(V0 - V1).max() < 1e-5
+            assert (F0 == F1).all()
+
+
 @pytest.mark.slow  # compiles the device fine-pass + MC graphs
 def test_extract_mesh_device_backend_matches_host():
     """extract_mesh(backend='device') — the on-device fine pass (block
