@@ -166,9 +166,18 @@ def extract_mesh(field, params, resolution: int = 512,
     # topology-parity with the CUDA gen_vertices/gen_faces and no
     # block-seam welding (shared edges share vertex ids by construction)
     if backend == "device":
-        V, F = _mesh_on_device(field, params, res, lo, span,
-                               csdf, active, block, thresh)
-        return _finish_mesh(field, params, V, F, meta, with_colors)
+        try:
+            V, F = _mesh_on_device(field, params, res, lo, span,
+                                   csdf, active, block, thresh)
+            return _finish_mesh(field, params, V, F, meta, with_colors)
+        except Exception as e:      # pragma: no cover - device-specific
+            # never lose a finished training run to a triangulation
+            # backend: fall back to the (slower, output-identical) host
+            # path and say so loudly
+            import logging
+            logging.getLogger(__name__).error(
+                "device marching cubes failed (%s: %s); falling back to "
+                "the host path", type(e).__name__, e)
     npts = res + 1
     fine_idx = np.minimum(np.arange(npts) * cres // res, cres - 1)
     vol = csdf[np.ix_(fine_idx, fine_idx, fine_idx)].astype(np.float32)
