@@ -68,6 +68,12 @@ def build_argparser():
     p.add_argument("--snapshot-each", type=int, default=0,
                    help="write output/snapshot_latest.msgpack every N "
                         "steps (atomic; crash/outage resume point)")
+    p.add_argument("--trace-steps", type=int, default=0,
+                   help="wrap N mid-training steps in a jax.profiler "
+                        "device trace (headless analog of the reference "
+                        "GUI's profiling panels)")
+    p.add_argument("--trace-dir", default="",
+                   help="trace output dir (default <scene>/output/trace)")
     p.add_argument("--render-path", default="",
                    help="camera-path JSON (render/camera_path.py layout); "
                         "renders a fly-through after training")
@@ -171,7 +177,24 @@ def run(args) -> int:
         logger.info(f"Saved mesh to {path} "
                     f"({len(m['V'])} verts, {len(m['F'])} faces)")
 
+    trace_at = None
+    if args.trace_steps:
+        # trace a mid-run window: past the occupancy warm-up so the
+        # steady-state step (the thing worth profiling) is what lands
+        # in the trace
+        trace_at = min(max(256, trainer.step + 32),
+                       max(args.maxiter - args.trace_steps, 0))
+
     while trainer.step < args.maxiter:
+        if trace_at is not None and trainer.step >= trace_at:
+            import jax.profiler
+            tdir = args.trace_dir or os.path.join(out_dir, "trace")
+            n = min(args.trace_steps, args.maxiter - trainer.step)
+            with jax.profiler.trace(tdir):
+                trainer.train_steps(n, sync_every=max(n, 1))
+            logger.info(f"Wrote a {n}-step device trace to {tdir}")
+            trace_at = None
+            continue
         # advance to the next log/mesh boundary without per-step host
         # syncs (device-queue pipelining; see Trainer.train_step_async)
         boundaries = [args.maxiter,
@@ -182,6 +205,8 @@ def run(args) -> int:
         if args.snapshot_each:
             boundaries.append((trainer.step // args.snapshot_each + 1)
                               * args.snapshot_each)
+        if trace_at is not None and trace_at > trainer.step:
+            boundaries.append(trace_at)
         target = min(boundaries)
         trainer.train_steps(target - trainer.step, sync_every=25)
         if trainer.step % 100 == 0 or trainer.step >= args.maxiter:

@@ -112,6 +112,24 @@ def test_two_stage_resume_from_rolling_snapshot(tmp_path):
     assert os.path.getmtime(mesh) == mtime
 
 
+def test_trace_steps_writes_device_trace(tmp_path):
+    """--trace-steps wraps a mid-run window in jax.profiler.trace (the
+    headless analog of the reference GUI's profiling panels) and the
+    run still reaches maxiter."""
+    import glob
+
+    scene = str(tmp_path / "scene")
+    write_prepared_scene(scene, n_views=4, width=24, height=24)
+    rc = testbed.main(["--scene", scene, "--maxiter", "20", "--no-gui",
+                       "--trace-steps", "4", "--target-batch-size",
+                       "2048", "--occ-grid-size", "16", "--n-ladder",
+                       "128", "--n-chips", "1"])
+    assert rc == 0
+    files = [f for f in glob.glob(scene + "/output/trace/**/*",
+                                  recursive=True) if os.path.isfile(f)]
+    assert files, "no trace artifacts written"
+
+
 def test_testbed_cli_flags_parse():
     p = testbed.build_argparser()
     args = p.parse_args(["--scene", "/tmp/x", "--maxiter", "100",
