@@ -62,9 +62,10 @@ def build_argparser():
                    help="occupancy grid resolution (0 = reference 128)")
     p.add_argument("--n-ladder", type=int, default=0,
                    help="ray-march ladder length (0 = reference 1024)")
-    p.add_argument("--stoch-corner-bwd", type=int, default=0,
+    p.add_argument("--stoch-corner-bwd", type=int, default=None,
                    help="K>0: unbiased K-corner stochastic hash-grid "
-                        "backward on hashed levels (0 = exact 8-corner)")
+                        "backward (default: config, K=2); 0 = exact "
+                        "8-corner")
     p.add_argument("--snapshot-each", type=int, default=0,
                    help="write output/snapshot_latest.msgpack every N "
                         "steps (atomic; crash/outage resume point)")
@@ -124,7 +125,7 @@ def make_config(args):
     if args.disable_snap_to_center:
         march = dataclasses.replace(march, snap_to_pixel_centers=False)
     network = cfg.network
-    if args.stoch_corner_bwd:
+    if args.stoch_corner_bwd is not None:
         network = dataclasses.replace(
             network, stoch_corner_bwd=args.stoch_corner_bwd)
     return dataclasses.replace(cfg, flags=flags, loss=loss, train=train,

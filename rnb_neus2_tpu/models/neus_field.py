@@ -128,8 +128,9 @@ class NeusField:
         materializing the padded input, and sidesteps an XLA-TPU compiler
         crash in the fused concat+relu backward.
         """
-        enc = hash_encoding.encode(params["hash_table"], x, self.static,
-                                   valid_level, n_active)
+        enc = hash_encoding.encode_columns(params["hash_table"], x,
+                                           self.static, valid_level,
+                                           n_active)
         cd = jnp.dtype(self.net.compute_dtype)
         dot = lambda a, b: jnp.dot(a.astype(cd), b.astype(cd),
                                    preferred_element_type=jnp.float32)

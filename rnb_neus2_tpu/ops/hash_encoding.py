@@ -346,6 +346,54 @@ def encode_with_jacobian(table: jnp.ndarray, positions: jnp.ndarray,
     return out, jac
 
 
+def encode_columns(table: jnp.ndarray, positions: jnp.ndarray,
+                   static: HashGridStatic,
+                   valid_level: jnp.ndarray | int | None = None,
+                   n_active: int | None = None) -> jnp.ndarray:
+    """Features-only forward in the measured-fast per-corner 1-D layout.
+
+    Exactly `encode` (same gathers, same math — parity-tested), but built
+    like the custom-VJP fast path's forward: per-corner (N,) columns with a
+    final column-stack, no (N,8,F) intermediates. The (N,8)/(N,8,F)
+    tensors in `encode` put the tiny dim in the 128-lane tile minor
+    (16–42× padding + layout copies — DESIGN.md kernel war round 3);
+    forward-only consumers (occupancy refresh: 1M density evals per
+    refresh, mesh extraction, IoU) get the clean layout without the
+    jacobian columns the training path also carries. Differentiable by
+    autodiff (gathers transpose to scatters) — fine for the cold paths
+    that use it; training keeps the custom-VJP variant.
+    """
+    cfg = static.cfg
+    L = cfg.n_levels
+    F = cfg.n_features_per_level
+    La = min(L, n_active) if n_active else L
+    n = positions.shape[0]
+    if valid_level is None:
+        mask = jnp.ones((La,), jnp.float32)
+    else:
+        mask = (jnp.arange(La) < valid_level).astype(jnp.float32)
+    tables = level_tables(table, static, La)
+    nbs = dense_corner_tables(tables, static, La)
+    out_cols = []
+    for lvl in range(La):
+        idx_cs, w_cs, _, _ = _level_corner_arrays(positions, static, lvl)
+        m = mask[lvl]
+        if lvl in nbs:
+            fl = nbs[lvl][idx_cs[0]]                         # (N, 8·F)
+            feats = [[fl[:, c * F + f] for f in range(F)]
+                     for c in range(8)]
+        else:
+            fcs = [tables[lvl][idx_cs[c]] for c in range(8)]
+            feats = [[fcs[c][:, f] for f in range(F)] for c in range(8)]
+        for f in range(F):
+            out_cols.append(
+                sum(w_cs[c] * feats[c][f] for c in range(8)) * m)
+    if La < L:
+        z = jnp.zeros((n,), jnp.float32)
+        out_cols.extend([z] * ((L - La) * F))
+    return jnp.stack(out_cols, axis=1)
+
+
 def _corner_flat_offsets(res: int):
     """Flat dense-index offset of each of the 8 corners from the base cell
     (x-fastest layout, grid.h:132-141): δ_c = dx + dy·res + dz·res²."""

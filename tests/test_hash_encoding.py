@@ -69,6 +69,29 @@ def test_encode_matches_numpy_oracle():
     np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
 
 
+def test_encode_columns_matches_encode():
+    """encode_columns (the forward-only fast layout used by occupancy
+    refresh / mesh extraction) is the same math as encode, including
+    progressive masking and static level truncation."""
+    cfg = HashGridConfig(n_levels=6, top_resolution=256)
+    static = he.HashGridStatic(cfg)
+    table = jax.random.normal(jax.random.PRNGKey(0),
+                              (static.n_entries, 2), jnp.float32)
+    x = jax.random.uniform(jax.random.PRNGKey(1), (257, 3))
+    np.testing.assert_allclose(
+        np.asarray(he.encode_columns(table, x, static)),
+        np.asarray(he.encode(table, x, static)), rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(he.encode_columns(table, x, static, valid_level=3)),
+        np.asarray(he.encode(table, x, static, valid_level=3)),
+        rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(he.encode_columns(table, x, static, valid_level=3,
+                                     n_active=4)),
+        np.asarray(he.encode(table, x, static, valid_level=3, n_active=4)),
+        rtol=1e-5, atol=1e-6)
+
+
 def test_progressive_level_mask():
     cfg = HashGridConfig()
     static = he.HashGridStatic(cfg)

@@ -30,9 +30,9 @@ def main():
     ap.add_argument("--max-steps", type=int, default=10000)
     ap.add_argument("--resolution", type=int, default=512)
     ap.add_argument("--gt-resolution", type=int, default=384)
-    ap.add_argument("--stoch-corner-bwd", type=int, default=0,
-                    help="K>0: run with the stochastic corner backward "
-                         "(A/B against the exact default)")
+    ap.add_argument("--stoch-corner-bwd", type=int, default=None,
+                    help="override the stochastic-corner-backward K "
+                         "(default: config default; 0 = exact backward)")
     args = ap.parse_args()
 
     from rnb_neus2_tpu.cli import pipeline
@@ -40,22 +40,30 @@ def main():
     from rnb_neus2_tpu.mesh.writer import load_obj
     from rnb_neus2_tpu.testing.synthetic import composite_gt_mesh
 
-    common = ["--snapshot-each", "500"]
-    if args.stoch_corner_bwd:
+    common = ["--snapshot-each", "200"]
+    if args.stoch_corner_bwd is not None:
         common += ["--stoch-corner-bwd", str(args.stoch_corner_bwd)]
     t0 = float(os.environ.setdefault("_RNB_RUN10K_T0", str(time.time())))
-    # the remote-device tunnel drops every few hours; on failure, wait for
-    # the tunnel and re-exec (a wedged jax runtime needs a fresh process) —
-    # run_two_stage(resume=True) continues from snapshot_latest.msgpack.
-    # Attempt count rides the environment across execs.
+    # the remote-device tunnel drops every few hours (sometimes every few
+    # minutes); on failure, wait for the tunnel and re-exec (a wedged jax
+    # runtime needs a fresh process) — run_two_stage(resume=True) continues
+    # from snapshot_latest.msgpack. The attempt counter rides the
+    # environment across execs and bounds CONSECUTIVE NO-PROGRESS attempts:
+    # any attempt that advanced the rolling snapshot resets it, so an
+    # arbitrarily flaky night still converges as long as each window of
+    # connectivity covers 200 steps.
     attempt = int(os.environ.get("_RNB_RUN10K_ATTEMPT", "0"))
+    out_dir = os.path.join(args.scene, "output")
     try:
         pipeline.run_two_stage(args.scene, args.max_steps,
                                common_flags=common,
                                resolution=args.resolution, resume=True)
     except Exception as e:
         log.warning("attempt %d failed: %s", attempt + 1, e)
-        if attempt >= 4:
+        _, step_now = pipeline._latest_snapshot_step(out_dir)
+        made_progress = step_now > int(
+            os.environ.get("_RNB_RUN10K_LAST_STEP", "-1"))
+        if attempt >= 8 and not made_progress:
             raise
         import subprocess
         deadline = time.time() + 3600
@@ -66,7 +74,9 @@ def main():
             if rc == 0:
                 break
             time.sleep(60)
-        os.environ["_RNB_RUN10K_ATTEMPT"] = str(attempt + 1)
+        os.environ["_RNB_RUN10K_ATTEMPT"] = \
+            "0" if made_progress else str(attempt + 1)
+        os.environ["_RNB_RUN10K_LAST_STEP"] = str(step_now)
         os.execv(sys.executable, [sys.executable] + sys.argv)
     t_train = time.time() - t0
     log.info("two-stage pipeline done in %.1f s", t_train)
@@ -112,7 +122,9 @@ def main():
         "mesh_vertices": int(len(V)),
         "max_steps": args.max_steps,
         "resolution": args.resolution,
-        "stoch_corner_bwd": args.stoch_corner_bwd,
+        "stoch_corner_bwd": (args.stoch_corner_bwd
+                             if args.stoch_corner_bwd is not None
+                             else "config-default"),
         **{k: round(v, 6) for k, v in ch.items()},
         **ch1,
     }
