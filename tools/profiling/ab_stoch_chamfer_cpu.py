@@ -35,6 +35,8 @@ def main():
     ap.add_argument("--steps", type=int, default=900)
     ap.add_argument("--mesh-res", type=int, default=128)
     ap.add_argument("--gt-res", type=int, default=192)
+    ap.add_argument("--out",
+                    default="/root/repo/runs/ab_stoch_chamfer_cpu.json")
     args = ap.parse_args()
 
     from rnb_neus2_tpu.config import (HashGridConfig, MarchConfig,
@@ -87,7 +89,7 @@ def main():
     out = {"exact": exact, "stoch": stoch,
            "chamfer_ratio_stoch_over_exact": round(ratio, 4)}
     print(json.dumps(out))
-    with open("/root/repo/runs/ab_stoch_chamfer_cpu.json", "w") as f:
+    with open(args.out, "w") as f:
         json.dump(out, f, indent=1)
 
 
