@@ -59,15 +59,18 @@ def _latest_snapshot_step(out_dir):
     """(path, step) of output/snapshot_latest.msgpack, or (None, -1).
     Written atomically by the testbed's --snapshot-each; unreadable files
     (a crash mid-replace cannot happen, but a truncated disk write can)
-    count as absent."""
-    path = os.path.join(out_dir, "snapshot_latest.msgpack")
-    if not os.path.exists(path):
-        return None, -1
-    try:
-        from ..train import snapshot as snap
-        return path, int(snap.load_snapshot(path)["step"])
-    except Exception:
-        return None, -1
+    count as absent and fall back to the one-generation-back
+    snapshot_latest.msgpack.prev the testbed keeps."""
+    from ..train import snapshot as snap
+    base = os.path.join(out_dir, "snapshot_latest.msgpack")
+    for path in (base, base + ".prev"):
+        if not os.path.exists(path):
+            continue
+        try:
+            return path, int(snap.load_snapshot(path)["step"])
+        except Exception:
+            continue
+    return None, -1
 
 
 def run_two_stage(data_dir, max_steps, common_flags, resolution=1024,

@@ -211,8 +211,13 @@ def run(args) -> int:
         target = min(boundaries)
         trainer.train_steps(target - trainer.step, sync_every=25)
         if trainer.step % 100 == 0 or trainer.step >= args.maxiter:
+            # reference logs `iteration=N loss=X` (main.cu:447-449); the
+            # extra EMAs are this testbed's observability additions
             logger.info(f"iteration={trainer.step} "
-                        f"loss={trainer.loss_ema.value:.6f}")
+                        f"loss={trainer.loss_ema.value:.6f} "
+                        f"mask={trainer.mask_ema.value:.4f} "
+                        f"ek={trainer.ek_ema.value:.4f} "
+                        f"rays={trainer.n_rays}")
         if args.save_each and trainer.step % args.save_each == 0 \
                 and trainer.step < args.maxiter:
             save_mesh_now(trainer.step)
@@ -220,8 +225,21 @@ def run(args) -> int:
                 and trainer.step % args.snapshot_each == 0 \
                 and trainer.step < args.maxiter:
             latest = os.path.join(out_dir, "snapshot_latest.msgpack")
-            snap.save_snapshot(latest + ".tmp", trainer)
-            os.replace(latest + ".tmp", latest)
+            loss_now = trainer.loss_ema.value
+            if not (loss_now == loss_now and loss_now < 1e6):
+                # diverged/NaN state: never overwrite the last good
+                # rolling snapshot with it (a healthy resume point is
+                # worth more than a fresher broken one)
+                logger.error(
+                    f"iteration={trainer.step}: loss={loss_now} is "
+                    "divergent; skipping rolling snapshot")
+            else:
+                # keep one generation back: a crash or a divergence
+                # detected one window later can still resume from .prev
+                if os.path.exists(latest):
+                    os.replace(latest, latest + ".prev")
+                snap.save_snapshot(latest + ".tmp", trainer)
+                os.replace(latest + ".tmp", latest)
 
     if args.save_mesh:
         save_mesh_now(args.maxiter)

@@ -112,6 +112,30 @@ def test_two_stage_resume_from_rolling_snapshot(tmp_path):
     assert os.path.getmtime(mesh) == mtime
 
 
+def test_rolling_snapshot_keeps_one_generation_back(tmp_path):
+    """--snapshot-each rotates latest → latest.prev on every write, and
+    _latest_snapshot_step falls back to .prev when the newest file is
+    unreadable (truncated write, or a window skipped by the divergence
+    guard)."""
+    scene = str(tmp_path / "scene")
+    write_prepared_scene(scene, n_views=8, width=32, height=32,
+                         radius=RADIUS)
+    out = os.path.join(scene, "output")
+    rc = testbed.main(["--scene", scene, "--maxiter", "121", "--no-gui",
+                       "--snapshot-each", "60"] + SMALL)
+    assert rc == 0
+    latest = os.path.join(out, "snapshot_latest.msgpack")
+    prev = latest + ".prev"
+    assert os.path.exists(latest) and os.path.exists(prev)
+    assert pipeline._latest_snapshot_step(out)[1] == 120
+    with open(latest, "wb") as f:
+        f.write(b"truncated")
+    path2, step2 = pipeline._latest_snapshot_step(out)
+    assert path2 == prev and step2 == 60
+    os.remove(latest), os.remove(prev)
+    assert pipeline._latest_snapshot_step(out) == (None, -1)
+
+
 def test_trace_steps_writes_device_trace(tmp_path):
     """--trace-steps wraps a mid-run window in jax.profiler.trace (the
     headless analog of the reference GUI's profiling panels) and the
