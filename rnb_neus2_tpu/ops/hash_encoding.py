@@ -575,11 +575,13 @@ def make_encode_with_jacobian_cv(static: HashGridStatic,
 
     corner_samples > 0 enables the STOCHASTIC corner backward: instead of
     scattering all 8 trilinear corners per sample (the reference's exact
-    kernel_grid_backward_grid, and our default), each sample scatters
-    `corner_samples` corners drawn with replacement from the importance
-    mixture p_c = w_c/2 + 1/16, each contribution divided by (K·p_c) — an
-    unbiased estimator of the exact table gradient with K/8 of the
-    scatter elements. The width-1 scatter floor (6.7 ns/source-element on
+    kernel_grid_backward_grid), each sample scatters `corner_samples`
+    corners drawn with replacement proportionally to each corner's full
+    cotangent magnitude (p_c ∝ Σ_f|src_c[f]|), each contribution divided
+    by (K·p_c) — an unbiased estimator of the exact table gradient with
+    K/8 of the scatter elements, and every scattered value bounded by
+    ‖src‖₁/K (self-normalized importance sampling; no amplified rare
+    kicks). The width-1 scatter floor (6.7 ns/source-element on
     v5e, DESIGN.md "Kernel war") makes the 8-corner scatters the single
     largest step cost; K=2 cuts the hashed levels 4× and undercuts even
     the exact dense formulations, so it applies to every level (coarse
@@ -688,19 +690,31 @@ def make_encode_with_jacobian_cv(static: HashGridStatic,
                 # stochastic corner backward (see factory docstring):
                 # scatter K importance-sampled corners per sample instead
                 # of 8. Corner choice by CDF inversion over
-                # p_c = w_c/2 + 1/16; selection of the chosen corner's
-                # index/value/probability is 8 vector selects per draw —
-                # trivial next to the scatter it removes.
+                # p_c ∝ Σ_f |src_c[f]| — the magnitude of the corner's
+                # FULL cotangent (value + jacobian terms). Proportional
+                # sampling makes every scattered value bounded by
+                # ‖src‖₁/K: the earlier w_c/2 + 1/16 mixture tracked only
+                # the trilinear weight, so a near-zero-weight corner
+                # carrying a res-scaled jacobian term could be drawn at
+                # p ≈ 1/16 and amplified 8× — at the 2048-res top levels
+                # that sign-varying kick random-walked fine-level features
+                # until the (unnormalized-normal, reference-spec) shading
+                # loss diverged (full-scale run, step ~1500). Selection is
+                # 8 vector selects per draw — trivial next to the scatter
+                # it removes.
                 K = corner_samples
                 us = _hash_uniforms(positions, corner_salt * La + lvl, K)
-                ps = [0.5 * w_cs[c] + (1.0 / 16.0) for c in range(8)]
+                srcs = [[src(c, f) for f in range(F)] for c in range(8)]
+                mags = [sum(jnp.abs(srcs[c][f]) for f in range(F)) + 1e-20
+                        for c in range(8)]
+                inv_total = 1.0 / sum(mags)
+                ps = [mags[c] * inv_total for c in range(8)]
                 cdf = []
                 acc = None
                 for c in range(8):
                     acc = ps[c] if acc is None else acc + ps[c]
                     cdf.append(acc)
                 idx_ks, val_ks = [], [[] for _ in range(F)]
-                srcs = [[src(c, f) for f in range(F)] for c in range(8)]
                 for u in us:
                     # choice = #{c : u >= cdf_c}; cdf[7] ≈ 1 (float sum)
                     choice = sum((u >= cdf[c]).astype(jnp.int32)
