@@ -196,6 +196,12 @@ class LossConfig:
     mask_loss_weight: float = 1.0
     ek_loss_weight: float = 0.01
     anneal_end: int = 0             # 0 → cos_anneal_ratio ≡ 1
+    # Diagnostic stop-gradient switches (divergence attribution, see
+    # DESIGN.md "Full-scale divergence"): cut dL/d∇sdf through the
+    # alpha path (true_cos) or the shading path (n·l) respectively.
+    # Reference semantics = both False.
+    debug_stopgrad_alpha_normal: bool = False
+    debug_stopgrad_shading_normal: bool = False
 
 
 @dataclasses.dataclass(frozen=True)

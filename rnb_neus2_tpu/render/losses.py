@@ -166,7 +166,9 @@ def training_loss(field_out: Dict[str, jnp.ndarray], samples, batch: RayBatch,
     s_alive = s_ray_alive & in_seg & samples.valid
 
     # ---- per-sample alpha ------------------------------------------------
-    true_cos = jnp.sum(dirs * grad, axis=-1)
+    grad_for_alpha = jax.lax.stop_gradient(grad) \
+        if cfg.debug_stopgrad_alpha_normal else grad
+    true_cos = jnp.sum(dirs * grad_for_alpha, axis=-1)
     alpha = neus.sdf_to_alpha(sdf, true_cos, samples.dt, inv_s,
                               cos_anneal_ratio)
     alpha = jnp.where(s_alive, alpha, 0.0)
@@ -188,7 +190,10 @@ def training_loss(field_out: Dict[str, jnp.ndarray], samples, batch: RayBatch,
                                        flags.apply_light_opti)
     light_world = jnp.einsum("rij,rj->ri", batch.rot_c2w, light_cam)
 
-    shade_pred = shading.shade(grad, light_world[rid], flags.apply_relu)
+    grad_for_shade = jax.lax.stop_gradient(grad) \
+        if cfg.debug_stopgrad_shading_normal else grad
+    shade_pred = shading.shade(grad_for_shade, light_world[rid],
+                               flags.apply_relu)
     albedo4 = make_albedo4(albedo_activation(albedo_raw), flags)   # (S,4)
 
     # slots are ray-ordered by construction (march_flat compaction), so
