@@ -202,6 +202,7 @@ class LossConfig:
     # Reference semantics = both False.
     debug_stopgrad_alpha_normal: bool = False
     debug_stopgrad_shading_normal: bool = False
+    debug_stopgrad_alpha_sdf: bool = False
 
 
 @dataclasses.dataclass(frozen=True)
@@ -258,6 +259,21 @@ class TrainConfig:
     # jit dispatch/RPC gap (~50 ms over the axon tunnel). 1 = always
     # per-step. Math and PRNG stream are identical either way.
     fused_steps: int = 16
+    # Divergence guard (Trainer._guard_check): roll back to the last
+    # healthy device-side state (repeat failure escalates to an anchor
+    # checkpoint lagging >= 64 steps, since a blow-up builds below the
+    # loss threshold for ~20 steps) and halve the update scale when a
+    # metrics sync sees the color loss explode (>10× EMA and >1
+    # absolute, or non-finite); scale restores ×2 per 8 clean windows,
+    # floor 1/32 of the base lr. No reference
+    # analog (the CUDA testbed trains on through a blow-up); motivated by
+    # a measured intrinsic instability of the full-scale system — the
+    # RGB+ 4th-channel √(3−Σa²) gradient is singular as predicted albedo
+    # approaches white, and at lr 1e-3 with 2048-res levels the coupled
+    # system crossed into exponential blow-up at step ~1430 on the
+    # composite scene with the EXACT backward (DESIGN.md "Full-scale
+    # divergence"). Healthy runs never trip it.
+    divergence_guard: bool = True
 
 
 @dataclasses.dataclass(frozen=True)

@@ -113,7 +113,8 @@ class ParallelTrainer(Trainer):
             out_specs=(P(), P()),
             check_vma=False)
 
-        def step_fn(params, opt_state, emap, bitfield, key, step):
+        def step_fn(params, opt_state, emap, bitfield, key, step,
+                    lr_scale):
             keys = jax.random.split(key, n_dev)
             grads, metrics = grad_fn(params, bitfield, keys, step)
             if cfg.train.fractional_from_step is not None:
@@ -122,7 +123,8 @@ class ParallelTrainer(Trainer):
             else:
                 rgb_scale = jnp.float32(1.0)
             params, opt_state = opt.apply_updates(
-                tx, cfg.optimizer, params, grads, opt_state, rgb_scale)
+                tx, cfg.optimizer, params, grads, opt_state, rgb_scale,
+                lr_scale)
             # error map carried through untouched (module docstring)
             return params, opt_state, emap, metrics
 

@@ -169,7 +169,9 @@ def training_loss(field_out: Dict[str, jnp.ndarray], samples, batch: RayBatch,
     grad_for_alpha = jax.lax.stop_gradient(grad) \
         if cfg.debug_stopgrad_alpha_normal else grad
     true_cos = jnp.sum(dirs * grad_for_alpha, axis=-1)
-    alpha = neus.sdf_to_alpha(sdf, true_cos, samples.dt, inv_s,
+    sdf_for_alpha = jax.lax.stop_gradient(sdf) \
+        if cfg.debug_stopgrad_alpha_sdf else sdf
+    alpha = neus.sdf_to_alpha(sdf_for_alpha, true_cos, samples.dt, inv_s,
                               cos_anneal_ratio)
     alpha = jnp.where(s_alive, alpha, 0.0)
 

@@ -64,11 +64,16 @@ def init_state(cfg: OptimizerConfig, params) -> OptState:
 
 
 def apply_updates(tx, cfg: OptimizerConfig, params, grads, state: OptState,
-                  rgb_train_scale: jnp.ndarray) -> tuple:
+                  rgb_train_scale: jnp.ndarray,
+                  update_scale: jnp.ndarray | float = 1.0) -> tuple:
     """One optimizer step; rgb_train_scale ∈ {0,1} gates the RGB MLP
-    (fractional training / component masks)."""
+    (fractional training / component masks). update_scale multiplies the
+    FINAL update (a traced scalar — no recompile when it changes): the
+    divergence guard's learning-rate backoff. Scaling updates, not
+    gradients, because Adam is gradient-scale-invariant."""
     updates, adam_state = tx.update(grads, state.adam, params)
-    updates = dict(updates)
+    updates = jax.tree_util.tree_map(lambda u: u * update_scale,
+                                     dict(updates))
     updates["rgb_mlp"] = jax.tree_util.tree_map(
         lambda u: u * rgb_train_scale, updates["rgb_mlp"])
     new_params = optax.apply_updates(params, updates)

@@ -83,6 +83,18 @@ class Trainer:
         self.emap = error_map.init_state(dataset.n_images, ew, eh)
         self._emap_interval = 128
         self._emap_counter = 0
+        # Divergence guard (no reference analog — the CUDA testbed just
+        # trains on; see DESIGN.md "Full-scale divergence"): keep a
+        # device-side copy of the last healthy state; when a metrics sync
+        # sees the color loss explode (>100× its EMA and >10 absolute, or
+        # non-finite), roll back and halve the update scale, restoring it
+        # ×2 after 8 clean windows. lr_scale multiplies the FINAL Adam
+        # update inside the jitted step (a traced scalar — no recompile).
+        self.lr_scale = 1.0
+        self._good: Optional[dict] = None
+        self._anchor: Optional[dict] = None
+        self._guard_windows = 0
+        self._guard_rollbacks = 0
 
     # ------------------------------------------------------------------
     # jitted pieces
@@ -110,7 +122,8 @@ class Trainer:
         tx = self.tx
         n_slots = cfg.train.target_batch_size
 
-        def step_fn(params, opt_state, emap, bitfield, key, step):
+        def step_fn(params, opt_state, emap, bitfield, key, step,
+                    lr_scale):
             batch, samples, pos, (img, xy) = sample_ray_batch(
                 self.dataset, bitfield, key, n_rays, n_slots, cfg.march,
                 emap_state=emap, light_salt=cfg.train.light_prng_salt,
@@ -137,7 +150,8 @@ class Trainer:
             else:
                 rgb_scale = jnp.float32(1.0)
             params, opt_state = opt.apply_updates(
-                tx, cfg.optimizer, params, grads, opt_state, rgb_scale)
+                tx, cfg.optimizer, params, grads, opt_state, rgb_scale,
+                lr_scale)
             metrics = dict(metrics)
             emap = error_map.splat(emap, img, xy,
                                    metrics.pop("_per_ray_color_logged"))
@@ -213,7 +227,8 @@ class Trainer:
         raw_occ = self._raw_occ_fn(n_active, subsampled=True)
 
         @functools.partial(jax.jit, donate_argnums=(0, 1, 2, 3))
-        def chunk_fn(params, opt_state, emap, occ_state, key, step0):
+        def chunk_fn(params, opt_state, emap, occ_state, key, step0,
+                     lr_scale):
             key, k_occ = jax.random.split(key)
             occ_state = raw_occ(params, occ_state, k_occ, step0)
 
@@ -222,7 +237,7 @@ class Trainer:
                 key, k = jax.random.split(key)
                 params, opt_state, emap, metrics = raw_step(
                     params, opt_state, emap, occ_state.bitfield, k,
-                    step0 + i)
+                    step0 + i, lr_scale)
                 return (params, opt_state, emap, key), metrics
 
             (params, opt_state, emap, key), ms = jax.lax.scan(
@@ -269,7 +284,7 @@ class Trainer:
         self.params, self.opt_state, self.emap, metrics = \
             self._compiled[(r, lb)](
                 self.params, self.opt_state, self.emap, self.occ.bitfield,
-                k, jnp.int32(self.step))
+                k, jnp.int32(self.step), jnp.float32(self.lr_scale))
         self.step += 1
         self._emap_counter += 1
         if self._emap_counter >= self._emap_interval:
@@ -279,10 +294,105 @@ class Trainer:
         metrics["rays_per_batch"] = r
         return metrics
 
+    # ------------------------------------------------------------------
+    # divergence guard
+    # ------------------------------------------------------------------
+
+    def _snapshot_state(self) -> dict:
+        copy = lambda t: jax.tree_util.tree_map(jnp.copy, t)
+        return {
+            "params": copy(self.params), "opt_state": copy(self.opt_state),
+            "emap": copy(self.emap), "occ": copy(self.occ),
+            "key": jnp.copy(self.key), "step": self.step,
+            "n_rays": self.n_rays, "emap_counter": self._emap_counter,
+            "emap_interval": self._emap_interval,
+            "loss_ema": self.loss_ema.value,
+        }
+
+    def _checkpoint_good(self) -> None:
+        state = self._snapshot_state()
+        # the anchor lags the recent checkpoint by >= 64 steps: a blow-up
+        # builds below the loss threshold for ~20 steps before any sync
+        # sees it (measured onset, DESIGN.md "Full-scale divergence"), so
+        # the freshest checkpoint can already carry the seed — repeated
+        # failure escalates to the anchor, which predates it
+        if self._anchor is None \
+                or state["step"] - self._anchor["step"] >= 64:
+            self._anchor = self._good or state
+        self._good = state
+
+    def _restore(self, g: dict) -> None:
+        copy = lambda t: jax.tree_util.tree_map(jnp.copy, t)
+        self.params = copy(g["params"])
+        self.opt_state = copy(g["opt_state"])
+        self.emap = copy(g["emap"])
+        self.occ = copy(g["occ"])
+        self.key = jnp.copy(g["key"])
+        self.step = g["step"]
+        self.n_rays = g["n_rays"]
+        self._emap_counter = g["emap_counter"]
+        self._emap_interval = g["emap_interval"]
+        self.loss_ema.set(g["loss_ema"])
+
+    def _rollback(self, bad_loss: float) -> None:
+        bad_step = self.step
+        # first failure: retry from the freshest healthy window. A repeat
+        # failure (no healthy window in between) means that state was
+        # already poisoned — escalate to the lagging anchor.
+        g = self._good if self._guard_rollbacks == 0 else \
+            (self._anchor or self._good)
+        self._restore(g)
+        # perturb the stream: state+key restore is otherwise deterministic,
+        # so a tier-1 retry would redraw the exact batch that spiked
+        self.key = jax.random.fold_in(g["key"], self._guard_rollbacks + 1)
+        self._good = g
+        self.lr_scale = max(self.lr_scale * 0.5, 1.0 / 32.0)
+        self._guard_windows = 0
+        self._guard_rollbacks += 1
+        import logging
+        logging.getLogger("rnb_neus2_tpu.train").warning(
+            "divergence guard: loss %.3g at step ~%d; rolled back to "
+            "step %d, update scale now %.4g", bad_loss, bad_step,
+            g["step"], self.lr_scale)
+        if self._guard_rollbacks > 24:
+            raise RuntimeError(
+                "divergence guard: 24 consecutive rollbacks without a "
+                "healthy window — training is unstable even at the "
+                "minimum update scale")
+
+    def _guard_check(self, loss_color: float) -> bool:
+        """True = healthy. Call with the freshly synced loss BEFORE the
+        EMAs are updated with it."""
+        if not self.cfg.train.divergence_guard:
+            return True
+        ref = self.loss_ema.value
+        bad = not math.isfinite(loss_color) or (
+            math.isfinite(ref) and ref > 0.0
+            and loss_color > max(10.0 * ref, 1.0))
+        if bad:
+            # before the first healthy window there is nothing to restore;
+            # still refuse to checkpoint / feed the EMAs a bad loss
+            if self._good is not None:
+                self._rollback(loss_color)
+            return False
+        self._guard_rollbacks = 0
+        self._guard_windows += 1
+        if self.lr_scale < 1.0 and self._guard_windows >= 8:
+            self.lr_scale = min(1.0, self.lr_scale * 2.0)
+            self._guard_windows = 0
+        # NOTE: _checkpoint_good runs in _consume_metrics AFTER the EMA
+        # updates so the snapshot carries the post-window EMA — restoring
+        # a pre-update EMA (0.0 on the first checkpoint) would disarm the
+        # relative threshold for one window
+        return True
+
     def _consume_metrics(self, metrics) -> Dict[str, float]:
         r = metrics.pop("rays_per_batch")
         out = {k2: float(v) for k2, v in metrics.items()}
         out["rays_per_batch"] = r
+        if not self._guard_check(out["loss_color"]):
+            out["rolled_back"] = True
+            return out
         n_valid = out["n_valid_total"]
         if n_valid > 0:
             target = self.cfg.train.target_batch_size
@@ -294,6 +404,8 @@ class Trainer:
         self.ek_ema.update(out["loss_ek"])
         self.mask_ema.update(out["loss_mask"])
         self.loss_graph.update(out["loss_color"])
+        if self.cfg.train.divergence_guard:
+            self._checkpoint_good()
         return out
 
     def train_steps(self, n: int, sync_every: int = 10
@@ -321,7 +433,8 @@ class Trainer:
                 (self.params, self.opt_state, self.emap, self.occ,
                  self.key, metrics) = fn(
                     self.params, self.opt_state, self.emap, self.occ,
-                    self.key, jnp.int32(self.step))
+                    self.key, jnp.int32(self.step),
+                    jnp.float32(self.lr_scale))
                 self.step += chunk
                 self._emap_counter += chunk
                 metrics = dict(metrics)
@@ -353,7 +466,7 @@ class Trainer:
         self.params, self.opt_state, self.emap, metrics = \
             self._compiled[(r, lb)](
                 self.params, self.opt_state, self.emap, self.occ.bitfield,
-                k, jnp.int32(self.step))
+                k, jnp.int32(self.step), jnp.float32(self.lr_scale))
         self.step += 1
 
         # error-map CDF rebuild cadence (testbed.cu:3670-3723)
@@ -363,22 +476,11 @@ class Trainer:
             self._emap_counter = 0
             self._emap_interval = int(self._emap_interval * 1.5)
 
-        # adaptive rays/batch (testbed_nerf.cu:3554-3555): rescale so the
-        # generated (pre-drop) sample count matches the slot budget
-        n_valid = float(metrics["n_valid_total"])
-        if n_valid > 0:
-            target = self.cfg.train.target_batch_size
-            want = r * target / n_valid
-            self.n_rays = int(np.clip(
-                want, self.cfg.train.initial_rays_per_batch // 8,
-                self.cfg.train.max_rays_per_batch))
-
-        out = {k2: float(v) for k2, v in metrics.items()}
-        out["rays_per_batch"] = r
-        self.loss_ema.update(out["loss_color"])
-        self.ek_ema.update(out["loss_ek"])
-        self.mask_ema.update(out["loss_mask"])
-        self.loss_graph.update(out["loss_color"])
+        # adaptive rays/batch (testbed_nerf.cu:3554-3555) + EMAs +
+        # divergence guard, shared with the fused path
+        metrics = dict(metrics)
+        metrics["rays_per_batch"] = r
+        out = self._consume_metrics(metrics)
         self.step_ms.update((time.perf_counter() - t0) * 1e3)
         return out
 

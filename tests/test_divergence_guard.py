@@ -1,0 +1,165 @@
+"""Divergence guard state machine (Trainer._guard_check / _rollback).
+
+No reference analog: the CUDA testbed trains straight through a blow-up.
+Motivated by a measured intrinsic instability of the full-scale system
+(DESIGN.md "Full-scale divergence"): the RGB+ 4th-channel √(3−Σa²)
+gradient is near-singular as predicted albedo approaches white, and at
+lr 1e-3 the composite scene crossed into exponential blow-up at step
+~1430 with the EXACT backward. The guard keeps a device-side copy of the
+last healthy state plus a ≥64-step-lagging anchor (a blow-up builds below
+the loss threshold for ~20 steps before a sync sees it), rolls back on a
+loss explosion, halves the update scale, and restores it after clean
+windows.
+
+Driven directly through _consume_metrics with synthetic metrics — no
+training steps — so the suite stays fast.
+"""
+
+import math
+
+import numpy as np
+import pytest
+
+from rnb_neus2_tpu.config import (HashGridConfig, MarchConfig, TestbedConfig,
+                                  TrainConfig)
+from rnb_neus2_tpu.testing.synthetic import sphere_dataset
+from rnb_neus2_tpu.train.trainer import Trainer
+
+
+@pytest.fixture(scope="module")
+def trainer():
+    ds = sphere_dataset(n_views=2, width=16, height=16, radius=0.2)
+    cfg = TestbedConfig(
+        grid=HashGridConfig(n_levels=2, top_resolution=32),
+        train=TrainConfig(target_batch_size=1 << 9,
+                          initial_rays_per_batch=64,
+                          occ_grid_size=16, seed=0),
+        march=MarchConfig(n_ladder=64),
+    )
+    return Trainer(ds, cfg)
+
+
+def metrics(loss, rays=64, n_valid=512.0):
+    return {"loss_color": loss, "loss_ek": 1e-4, "loss_mask": 0.1,
+            "loss_total": loss, "n_valid_total": n_valid,
+            "rays_per_batch": rays}
+
+
+def reset(tr):
+    tr.lr_scale = 1.0
+    tr._good = None
+    tr._anchor = None
+    tr._guard_windows = 0
+    tr._guard_rollbacks = 0
+    tr.loss_ema.value = 0.0
+    tr.loss_ema._initialized = False
+    tr.step = 0
+
+
+def feed(tr, loss, step_advance=1):
+    tr.step += step_advance
+    return tr._consume_metrics(metrics(loss))
+
+
+def test_healthy_windows_checkpoint_and_never_trip(trainer):
+    tr = trainer
+    reset(tr)
+    for i in range(5):
+        out = feed(tr, 0.05)
+        assert "rolled_back" not in out
+    assert tr.lr_scale == 1.0
+    assert tr._good is not None and tr._good["step"] == tr.step
+    assert tr._anchor is not None
+
+
+def test_spike_rolls_back_and_halves_scale(trainer):
+    tr = trainer
+    reset(tr)
+    for _ in range(3):
+        feed(tr, 0.05)
+    good_step = tr.step
+    key_before = np.asarray(tr.key).copy()
+    out = feed(tr, 5.0)   # >10× EMA and >1 absolute
+    assert out.get("rolled_back") is True
+    assert tr.step == good_step
+    assert tr.lr_scale == 0.5
+    # retry must not redraw the identical batch: key perturbed
+    assert not np.array_equal(np.asarray(tr.key), key_before)
+    # EMA not poisoned by the spike
+    assert tr.loss_ema.value < 0.1
+
+
+def test_nonfinite_loss_trips(trainer):
+    tr = trainer
+    reset(tr)
+    feed(tr, 0.05)
+    out = feed(tr, float("nan"))
+    assert out.get("rolled_back") is True
+    assert math.isfinite(tr.loss_ema.value)
+
+
+def test_repeat_failure_escalates_to_anchor(trainer):
+    tr = trainer
+    reset(tr)
+    # first healthy window at step 1 → becomes the anchor; then advance
+    # far enough that the next checkpoints are ≥64 past it
+    feed(tr, 0.05)
+    anchor_step = tr.step
+    feed(tr, 0.05, step_advance=70)
+    recent_step = tr.step
+    # tier 1: rollback to the freshest good
+    feed(tr, 5.0)
+    assert tr.step == recent_step
+    # tier 2 (no healthy window in between): escalate to the anchor
+    feed(tr, 5.0)
+    assert tr.step == anchor_step
+    assert tr.lr_scale == 0.25
+
+
+def test_scale_restores_after_clean_windows(trainer):
+    tr = trainer
+    reset(tr)
+    for _ in range(3):
+        feed(tr, 0.05)
+    feed(tr, 5.0)
+    assert tr.lr_scale == 0.5
+    for _ in range(8):
+        feed(tr, 0.05)
+    assert tr.lr_scale == 1.0
+
+
+def test_bad_first_window_not_checkpointed(trainer):
+    tr = trainer
+    reset(tr)
+    out = feed(tr, float("inf"))
+    assert tr._good is None
+    assert "rolled_back" not in out or out.get("rolled_back") is True
+    # EMA untouched → a later healthy window starts the guard cleanly
+    assert not tr.loss_ema._initialized
+    out = feed(tr, 0.05)
+    assert tr._good is not None
+
+
+def test_guard_disable_flag(trainer):
+    tr = trainer
+    reset(tr)
+    import dataclasses
+    orig = tr.cfg
+    tr.cfg = dataclasses.replace(
+        orig, train=dataclasses.replace(orig.train, divergence_guard=False))
+    try:
+        feed(tr, 0.05)
+        out = feed(tr, 1e6)
+        assert "rolled_back" not in out
+        assert tr.lr_scale == 1.0
+    finally:
+        tr.cfg = orig
+
+
+def test_rollback_cap_raises(trainer):
+    tr = trainer
+    reset(tr)
+    feed(tr, 0.05)
+    with pytest.raises(RuntimeError, match="divergence guard"):
+        for _ in range(30):
+            feed(tr, 5.0)

@@ -32,6 +32,11 @@ def main():
     ap.add_argument("--sg-shade", action="store_true",
                     help="stop-grad ∇sdf through the shading path")
     ap.add_argument("--lr", type=float, default=None)
+    ap.add_argument("--freeze-occ", action="store_true",
+                    help="skip occupancy refreshes during the replay")
+    ap.add_argument("--sg-sdf", action="store_true",
+                    help="stop-grad sdf through the alpha path")
+    ap.add_argument("--no-rgbplus", action="store_true")
     args = ap.parse_args()
 
     import dataclasses
@@ -57,12 +62,20 @@ def main():
         loss = dataclasses.replace(loss, debug_stopgrad_alpha_normal=True)
     if args.sg_shade:
         loss = dataclasses.replace(loss, debug_stopgrad_shading_normal=True)
+    if args.sg_sdf:
+        loss = dataclasses.replace(loss, debug_stopgrad_alpha_sdf=True)
     cfg = dataclasses.replace(cfg, loss=loss)
+    if args.no_rgbplus:
+        cfg = dataclasses.replace(cfg, flags=dataclasses.replace(
+            cfg.flags, apply_rgbplus=False))
     if args.lr is not None:
         cfg = dataclasses.replace(cfg, optimizer=dataclasses.replace(
             cfg.optimizer, learning_rate=args.lr))
     tr = Trainer(ds, cfg)
     snap.restore_trainer(tr, snap.load_snapshot(args.snapshot))
+    if args.freeze_occ:
+        # _occ_update_fn(bucket, subsampled) returns the jitted refresh fn
+        tr._occ_update_fn = lambda *a, **k: (lambda *a2, **k2: tr.occ)
     print(f"resumed at step {tr.step}, k={args.k}", flush=True)
     for _ in range(args.steps):
         t0 = time.time()
