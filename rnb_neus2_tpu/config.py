@@ -203,6 +203,14 @@ class LossConfig:
     debug_stopgrad_alpha_normal: bool = False
     debug_stopgrad_shading_normal: bool = False
     debug_stopgrad_alpha_sdf: bool = False
+    # Lower clamp on the √(3−Σa²) jacobian denominator of the RGB+ 4th
+    # channel (the PREDICTED albedo only — the target channel carries no
+    # gradient). 0.0 = the reference's bare +1e−5 shift
+    # (testbed_nerf.cu:1942-1947), which admits ~1e5× gradients as the
+    # predicted albedo approaches white and drives the full-scale
+    # divergence attributed in DESIGN.md. Gradients are bit-identical to
+    # the reference whenever √(3−Σa²)+1e−5 ≥ floor.
+    rgbplus_grad_floor: float = 0.05
 
 
 @dataclasses.dataclass(frozen=True)

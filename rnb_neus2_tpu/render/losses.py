@@ -30,6 +30,7 @@ second-order path through ∇sdf). Scaling notes, verified against the kernel:
 
 from __future__ import annotations
 
+import functools
 from typing import Dict, NamedTuple
 
 import jax
@@ -64,42 +65,54 @@ def albedo_activation(raw: jnp.ndarray) -> jnp.ndarray:
     return jnp.exp(jnp.clip(raw, -10.0, 10.0))
 
 
-@jax.custom_vjp
-def _guarded_sqrt(x):
+@functools.lru_cache(maxsize=None)
+def _make_guarded_sqrt(floor: float):
     """√max(x,0) with the derivative regularized by +1e−5 in the
     denominator, like the reference's hand-written jacobian
     (testbed_nerf.cu:1942-1947). At the Xavier init albedo ≈ exp(0) = 1, so
-    3−Σa² sits exactly at 0 and the unguarded derivative is +∞."""
-    return jnp.sqrt(jnp.maximum(x, 0.0))
+    3−Σa² sits exactly at 0 and the unguarded derivative is +∞.
+
+    The reference's +1e−5 shift still admits ~1e5× gradients as predicted
+    albedo → white; at full scale those kicks self-amplify through the
+    2048-res hash levels into exponential divergence (DESIGN.md "Full-scale
+    divergence"). `floor` additionally clamps the denominator from below:
+    whenever √(3−Σa²) ≥ floor the gradient is EXACTLY the reference's; only
+    inside the near-singular regime (where the reference's value is a
+    numerically meaningless 1e5×) is it bounded by ~|a|/floor. floor = 0
+    reproduces the reference verbatim."""
+
+    @jax.custom_vjp
+    def f(x):
+        return jnp.sqrt(jnp.maximum(x, 0.0))
+
+    def fwd(x):
+        y = jnp.sqrt(jnp.maximum(x, 0.0))
+        return y, y
+
+    def bwd(y, g):
+        return (g * 0.5 / jnp.maximum(y + 1e-5, floor),)
+
+    f.defvjp(fwd, bwd)
+    return f
 
 
-def _guarded_sqrt_fwd(x):
-    y = jnp.sqrt(jnp.maximum(x, 0.0))
-    return y, y
-
-
-def _guarded_sqrt_bwd(y, g):
-    return (g * 0.5 / (y + 1e-5),)
-
-
-_guarded_sqrt.defvjp(_guarded_sqrt_fwd, _guarded_sqrt_bwd)
-
-
-def rgbplus_channel(a3: jnp.ndarray, flags: RenderFlags) -> jnp.ndarray:
+def rgbplus_channel(a3: jnp.ndarray, flags: RenderFlags,
+                    grad_floor: float = 0.0) -> jnp.ndarray:
     """4th albedo channel (testbed_nerf.cu:1523-1535)."""
     if not flags.apply_rgbplus:
         return jnp.zeros_like(a3[..., 0])
     if flags.apply_l2:
-        return _guarded_sqrt(3.0 - jnp.sum(a3 * a3, axis=-1))
+        return _make_guarded_sqrt(grad_floor)(3.0 - jnp.sum(a3 * a3, axis=-1))
     return 3.0 - jnp.sum(jnp.abs(a3), axis=-1)
 
 
-def make_albedo4(a3: jnp.ndarray, flags: RenderFlags) -> jnp.ndarray:
+def make_albedo4(a3: jnp.ndarray, flags: RenderFlags,
+                 grad_floor: float = 0.0) -> jnp.ndarray:
     if flags.apply_no_albedo:
         ones = jnp.ones_like(a3)
         return jnp.concatenate([ones, jnp.zeros_like(a3[..., :1])], axis=-1)
-    return jnp.concatenate([a3, rgbplus_channel(a3, flags)[..., None]],
-                           axis=-1)
+    return jnp.concatenate(
+        [a3, rgbplus_channel(a3, flags, grad_floor)[..., None]], axis=-1)
 
 
 def color_loss_fn(pred4: jnp.ndarray, target4: jnp.ndarray,
@@ -196,7 +209,8 @@ def training_loss(field_out: Dict[str, jnp.ndarray], samples, batch: RayBatch,
         if cfg.debug_stopgrad_shading_normal else grad
     shade_pred = shading.shade(grad_for_shade, light_world[rid],
                                flags.apply_relu)
-    albedo4 = make_albedo4(albedo_activation(albedo_raw), flags)   # (S,4)
+    albedo4 = make_albedo4(albedo_activation(albedo_raw), flags,
+                           cfg.rgbplus_grad_floor)               # (S,4)
 
     # slots are ray-ordered by construction (march_flat compaction), so
     # the segment ids are sorted — lets XLA skip the general scatter path

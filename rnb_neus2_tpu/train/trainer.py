@@ -93,8 +93,20 @@ class Trainer:
         self.lr_scale = 1.0
         self._good: Optional[dict] = None
         self._anchor: Optional[dict] = None
+        self._deep_anchor: Optional[dict] = None
         self._guard_windows = 0
         self._guard_rollbacks = 0
+        # monotonic trip counter: the PRNG perturb must differ on EVERY
+        # retry. Keying it off the consecutive-rollback count livelocked a
+        # full-scale run (one healthy window between trips reset the count,
+        # so the fold value alternated 2,3,2,3 — two deterministic replays
+        # repeated forever; runs/RUN_r2_composite10k_guarded.log)
+        self._guard_total_rollbacks = 0
+        # the furthest step a healthy checkpoint has ever reached: only
+        # genuine progress past it re-arms tier-1 / drains the trip cap —
+        # a healthy window that merely re-reaches old ground (the livelock
+        # signature) must not
+        self._guard_best_step = -1
 
     # ------------------------------------------------------------------
     # jitted pieces
@@ -318,8 +330,19 @@ class Trainer:
         # failure escalates to the anchor, which predates it
         if self._anchor is None \
                 or state["step"] - self._anchor["step"] >= 64:
+            # the anchor being retired has itself survived >= 64 further
+            # steps — promote it to the deep (>= 256-lagging) anchor so a
+            # poisoning that predates even the anchor has an escape
+            if self._deep_anchor is None or (
+                    self._anchor is not None
+                    and self._anchor["step"] - self._deep_anchor["step"]
+                    >= 256):
+                self._deep_anchor = self._anchor or self._good or state
             self._anchor = self._good or state
         self._good = state
+        if state["step"] > self._guard_best_step:
+            self._guard_best_step = state["step"]
+            self._guard_rollbacks = 0
 
     def _restore(self, g: dict) -> None:
         copy = lambda t: jax.tree_util.tree_map(jnp.copy, t)
@@ -338,13 +361,21 @@ class Trainer:
         bad_step = self.step
         # first failure: retry from the freshest healthy window. A repeat
         # failure (no healthy window in between) means that state was
-        # already poisoned — escalate to the lagging anchor.
-        g = self._good if self._guard_rollbacks == 0 else \
-            (self._anchor or self._good)
+        # already poisoned — escalate to the lagging anchor, and past 4
+        # near-consecutive trips to the deep (>= 256-lagging) anchor.
+        if self._guard_rollbacks == 0:
+            g = self._good
+        elif self._guard_rollbacks < 4:
+            g = self._anchor or self._good
+        else:
+            g = self._deep_anchor or self._anchor or self._good
         self._restore(g)
         # perturb the stream: state+key restore is otherwise deterministic,
-        # so a tier-1 retry would redraw the exact batch that spiked
-        self.key = jax.random.fold_in(g["key"], self._guard_rollbacks + 1)
+        # so a retry would redraw the exact batch sequence that spiked. The
+        # counter is monotonic over the whole run — every retry must see a
+        # genuinely new stream (a counter that ever repeats livelocks).
+        self._guard_total_rollbacks += 1
+        self.key = jax.random.fold_in(g["key"], self._guard_total_rollbacks)
         self._good = g
         self.lr_scale = max(self.lr_scale * 0.5, 1.0 / 32.0)
         self._guard_windows = 0
@@ -352,13 +383,12 @@ class Trainer:
         import logging
         logging.getLogger("rnb_neus2_tpu.train").warning(
             "divergence guard: loss %.3g at step ~%d; rolled back to "
-            "step %d, update scale now %.4g", bad_loss, bad_step,
-            g["step"], self.lr_scale)
+            "step %d, update scale now %.4g (trip %d)", bad_loss, bad_step,
+            g["step"], self.lr_scale, self._guard_total_rollbacks)
         if self._guard_rollbacks > 24:
             raise RuntimeError(
-                "divergence guard: 24 consecutive rollbacks without a "
-                "healthy window — training is unstable even at the "
-                "minimum update scale")
+                "divergence guard: 24 near-consecutive rollbacks — "
+                "training is unstable even at the minimum update scale")
 
     def _guard_check(self, loss_color: float) -> bool:
         """True = healthy. Call with the freshly synced loss BEFORE the
@@ -375,7 +405,12 @@ class Trainer:
             if self._good is not None:
                 self._rollback(loss_color)
             return False
-        self._guard_rollbacks = 0
+        # NOTE: the trip count is NOT reset here — only _checkpoint_good
+        # resets it, and only on progress past _guard_best_step. A healthy
+        # window that merely re-treads rolled-back ground (fail/heal/fail
+        # oscillation) kept re-arming tier-1 and made the 24-trip cap
+        # unreachable — the guarded-run livelock
+        # (runs/RUN_r2_composite10k_guarded.log).
         self._guard_windows += 1
         if self.lr_scale < 1.0 and self._guard_windows >= 8:
             self.lr_scale = min(1.0, self.lr_scale * 2.0)

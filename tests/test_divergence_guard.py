@@ -49,8 +49,11 @@ def reset(tr):
     tr.lr_scale = 1.0
     tr._good = None
     tr._anchor = None
+    tr._deep_anchor = None
     tr._guard_windows = 0
     tr._guard_rollbacks = 0
+    tr._guard_total_rollbacks = 0
+    tr._guard_best_step = -1
     tr.loss_ema.value = 0.0
     tr.loss_ema._initialized = False
     tr.step = 0
@@ -163,3 +166,63 @@ def test_rollback_cap_raises(trainer):
     with pytest.raises(RuntimeError, match="divergence guard"):
         for _ in range(30):
             feed(tr, 5.0)
+
+
+def test_oscillation_livelock_terminates(trainer):
+    """Regression for the guarded-run livelock
+    (runs/RUN_r2_composite10k_guarded.log): a healthy window that merely
+    re-treads rolled-back ground reset the consecutive-rollback count, so
+    the 24-trip cap was unreachable and the PRNG perturb alternated
+    between two fold values — the same two batches replayed forever. Now
+    only progress past the best-ever step re-arms the cap, and every
+    retry perturbs with a monotonic counter, so a no-progress oscillation
+    must terminate and no two retries redraw the same stream."""
+    tr = trainer
+    reset(tr)
+    feed(tr, 0.05)                          # good at step 1
+    keys = []
+    with pytest.raises(RuntimeError, match="divergence guard"):
+        for _ in range(200):
+            feed(tr, 5.0, step_advance=32)  # trip at best+32, roll back
+            keys.append(np.asarray(tr.key).copy())
+            feed(tr, 0.05, step_advance=0)  # heal WITHOUT new progress
+    assert len(keys) < 60, "no-progress oscillation must hit the trip cap"
+    uniq = {k.tobytes() for k in keys}
+    assert len(uniq) == len(keys), "retry PRNG streams must never repeat"
+
+
+def test_progress_rearms_tier1(trainer):
+    """Genuine progress past the best-ever step drains the trip count, so
+    a later isolated spike retries from the freshest checkpoint again
+    (tier 1), not the anchor."""
+    tr = trainer
+    reset(tr)
+    for _ in range(3):
+        feed(tr, 0.05, step_advance=70)
+    feed(tr, 5.0)                      # tier-1 trip
+    assert tr._guard_rollbacks == 1
+    feed(tr, 0.05, step_advance=70)    # beyond best → re-armed
+    assert tr._guard_rollbacks == 0
+    recent = tr.step
+    feed(tr, 5.0)
+    assert tr.step == recent           # tier 1 again
+
+
+def test_deep_anchor_escalation(trainer):
+    """Past 4 near-consecutive trips the guard escalates to the deep
+    (>=256-step-lagging) anchor — the escape when even the 64-lag anchor
+    predates the poisoning."""
+    tr = trainer
+    reset(tr)
+    feed(tr, 0.05)                       # step 1 — first good
+    deep_step = tr.step
+    feed(tr, 0.05, step_advance=70)      # anchor retires to deep later
+    feed(tr, 0.05, step_advance=70)
+    feed(tr, 0.05, step_advance=200)     # force anchor turnover ≥256
+    feed(tr, 0.05, step_advance=70)
+    assert tr._deep_anchor is not None
+    assert tr._deep_anchor["step"] == deep_step
+    for _ in range(5):
+        feed(tr, 5.0)
+    assert tr.step == deep_step
+    assert tr._guard_rollbacks >= 5

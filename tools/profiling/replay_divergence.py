@@ -37,6 +37,12 @@ def main():
     ap.add_argument("--sg-sdf", action="store_true",
                     help="stop-grad sdf through the alpha path")
     ap.add_argument("--no-rgbplus", action="store_true")
+    ap.add_argument("--floor", type=float, default=None,
+                    help="rgbplus_grad_floor override (0 = reference's "
+                         "bare +1e-5 jacobian shift)")
+    ap.add_argument("--no-guard", action="store_true",
+                    help="disable the divergence guard so raw (in)stability "
+                         "is observable")
     args = ap.parse_args()
 
     import dataclasses
@@ -64,7 +70,12 @@ def main():
         loss = dataclasses.replace(loss, debug_stopgrad_shading_normal=True)
     if args.sg_sdf:
         loss = dataclasses.replace(loss, debug_stopgrad_alpha_sdf=True)
+    if args.floor is not None:
+        loss = dataclasses.replace(loss, rgbplus_grad_floor=args.floor)
     cfg = dataclasses.replace(cfg, loss=loss)
+    if args.no_guard:
+        cfg = dataclasses.replace(cfg, train=dataclasses.replace(
+            cfg.train, divergence_guard=False))
     if args.no_rgbplus:
         cfg = dataclasses.replace(cfg, flags=dataclasses.replace(
             cfg.flags, apply_rgbplus=False))
