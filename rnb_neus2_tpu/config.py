@@ -209,8 +209,15 @@ class LossConfig:
     # (testbed_nerf.cu:1942-1947), which admits ~1e5× gradients as the
     # predicted albedo approaches white and drives the full-scale
     # divergence attributed in DESIGN.md. Gradients are bit-identical to
-    # the reference whenever √(3−Σa²)+1e−5 ≥ floor.
-    rgbplus_grad_floor: float = 0.05
+    # the reference whenever √(3−Σa²)+1e−5 ≥ floor. Diagnostic knob
+    # only: replays of the full-scale step-1400 state diverge at the
+    # SAME ~step-1500 onset with floors 0.05 AND 0.5 (runs/
+    # REPLAY_k2_floor005.log, REPLAY_k2_floor05.log), so the
+    # near-singular magnitude is not the blow-up's lever — the rgbplus
+    # coupling itself is outside the lr-1e-3 stability basin at full
+    # scale, and the divergence guard (trainer.py) is the defense.
+    # Default stays reference-exact.
+    rgbplus_grad_floor: float = 0.0
 
 
 @dataclasses.dataclass(frozen=True)
