@@ -78,6 +78,7 @@ def test_uniform_fallback_before_first_rebuild():
     assert np.all(pdf == 1.0)
 
 
+@pytest.mark.slow
 def test_trainer_integration_smoke():
     from rnb_neus2_tpu.config import (HashGridConfig, MarchConfig,
                                       TestbedConfig, TrainConfig)

@@ -230,6 +230,7 @@ def test_cv_gradient_matches_autodiff_oracle(monkeypatch):
         np.testing.assert_allclose(g_cv, g_or, rtol=2e-5, atol=2e-6)
 
 
+@pytest.mark.slow
 def test_stochastic_corner_bwd_unbiased():
     """The K-corner importance-sampled backward (stoch_corner_bwd) is an
     unbiased estimator of the exact table gradient (it applies to every

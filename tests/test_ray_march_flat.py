@@ -69,6 +69,7 @@ def test_flat_fields_match_reference_compaction(cone_angle, seed):
     assert np.asarray(fs.dt).max() <= MAX_CONE_STEPSIZE + 1e-9
 
 
+@pytest.mark.slow
 def test_flat_budget_overflow_drops_whole_rays():
     rng = np.random.default_rng(1)
     R, K, n_slots = 32, 64, 40   # tiny budget forces drops
@@ -157,6 +158,7 @@ def test_mip_from_pos_matches_reference_frexp():
     np.testing.assert_array_equal(got, want)
 
 
+@pytest.mark.slow
 def test_cascaded_march_samples_beyond_unit_cube():
     """aabb_scale=4 scene: a ray through an occupied region outside the
     unit cube must produce samples there (reference cascade DDA,
