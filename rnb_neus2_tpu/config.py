@@ -135,13 +135,14 @@ class NetworkConfig:
     # grid.h:~400). K>0 scatters only K importance-sampled corners per
     # sample on every level (unbiased estimator, K/8 of the scatter
     # elements — the dominant v5e step cost; see
-    # hash_encoding.make_encode_with_jacobian_cv). Default K=2 after both
-    # gates passed: quality (composite-scene Chamfer-L1 ratio 0.946 vs
-    # exact, identical completeness — runs/ab_stoch_chamfer_cpu.json) and
-    # speed (v5e full-size step 532.5 -> 374.3 ms, -30% —
-    # tools/profiling/ab_stoch_corner.py). `--stoch-corner-bwd 0`
-    # restores the exact backward.
-    stoch_corner_bwd: int = 2
+    # hash_encoding.make_encode_with_jacobian_cv). Default K=1 after both
+    # gates passed at K=1 too: quality (composite-scene Chamfer-L1 ratio
+    # 0.924 vs exact, identical completeness —
+    # runs/ab_stoch_chamfer_cpu_k1.json; K=2 ratio 0.946) and speed
+    # (v5e full-size step, same-session A/B: exact 532.5 -> K=2 351.4 ->
+    # K=1 296.0 ms — tools/profiling/ab_stoch_corner.py).
+    # `--stoch-corner-bwd 0` restores the exact backward.
+    stoch_corner_bwd: int = 1
     # input widths (nerf_network.h:46-61): [xyz | hash feats] -> next mult of 16
     @property
     def sdf_input_dim(self) -> int:
