@@ -66,6 +66,11 @@ def build_argparser():
                    help="K>0: unbiased K-corner stochastic hash-grid "
                         "backward (default: config, K=2); 0 = exact "
                         "8-corner")
+    p.add_argument("--fp16-grad-emu", type=int, default=None,
+                   help="1/0: emulate the reference's fp16 loss-gradient "
+                        "chain (LOSS_SCALE=128 fp16 dL/doutput + fp16 "
+                        "parameter-gradient accumulation, testbed.h:237); "
+                        "default: config")
     p.add_argument("--snapshot-each", type=int, default=0,
                    help="write output/snapshot_latest.msgpack every N "
                         "steps (atomic; crash/outage resume point)")
@@ -110,6 +115,9 @@ def make_config(args):
         apply_no_albedo=args.no_albedo,
     )
     loss = dataclasses.replace(cfg.loss, mask_loss_weight=args.mask_weight)
+    if args.fp16_grad_emu is not None:
+        loss = dataclasses.replace(
+            loss, fp16_grad_emulation=bool(args.fp16_grad_emu))
     train_kw = dict(max_steps=args.maxiter, seed=args.seed,
                     fractional_from_step=args.fractional_training)
     if args.target_batch_size:

@@ -219,6 +219,23 @@ class LossConfig:
     # scale, and the divergence guard (trainer.py) is the defense.
     # Default stays reference-exact.
     rgbplus_grad_floor: float = 0.0
+    # Emulate the reference's fp16 loss-gradient chain. The CUDA testbed
+    # computes dL/doutput in float but STORES it as fp16
+    # (tcnn::network_precision_t) scaled by LOSS_SCALE=128
+    # (testbed.h:237, testbed_nerf.cu:1960-2083), and accumulates every
+    # parameter gradient (hash-table scatter, MLP GEMMs) in fp16 at that
+    # scale before Adam divides the 128 back out (adam.h:88). The fp32
+    # rebuild removed that quantization; this knob restores it at the two
+    # boundaries the reference has: (a) the network-output cotangents
+    # (albedo_raw / sdf / grad / variance) and (b) the final parameter
+    # gradients, each mapped g → fp16(clip(128·g, ±65504))/128. Values
+    # whose scaled magnitude exceeds fp16's max are saturated rather than
+    # becoming inf (a float→half overflow in CUDA yields inf, which would
+    # permanently NaN the reference's Adam moments — so a run the
+    # reference survives never overflows, and the clamp is the honest
+    # upper envelope of the fp16-representable dynamics). Sub-normal
+    # flushing and 11-bit rounding are bit-faithful.
+    fp16_grad_emulation: bool = False
 
 
 @dataclasses.dataclass(frozen=True)
@@ -290,6 +307,18 @@ class TrainConfig:
     # composite scene with the EXACT backward (DESIGN.md "Full-scale
     # divergence"). Healthy runs never trip it.
     divergence_guard: bool = True
+    # Terminal behavior once the guard has tripped guard_max_trips times
+    # without progress past the best healthy step:
+    #   "degrade" (default): restore the deepest anchor, permanently turn
+    #     the RGB+ 4th channel OFF for the remainder (the one lever every
+    #     replay shows holds — runs/REPLAY_k0_norgbplus.log; --no-rgbplus
+    #     is a supported reference mode, main.cu:--no-rgbplus) and pin
+    #     the update scale at its floor. A production 10k run finishes
+    #     with a usable (if slightly less constrained) reconstruction
+    #     instead of dying at step ~1600.
+    #   "raise": the round-2 behavior — RuntimeError.
+    guard_terminal: str = "degrade"
+    guard_max_trips: int = 24
 
 
 @dataclasses.dataclass(frozen=True)

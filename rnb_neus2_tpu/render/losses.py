@@ -65,6 +65,52 @@ def albedo_activation(raw: jnp.ndarray) -> jnp.ndarray:
     return jnp.exp(jnp.clip(raw, -10.0, 10.0))
 
 
+# The reference's fp16 loss-gradient boundary (LossConfig.fp16_grad_emulation):
+# the CUDA loss kernel writes dL/doutput as fp16 scaled by LOSS_SCALE=128
+# (testbed.h:237; rows cast to tcnn::network_precision_t at
+# testbed_nerf.cu:1960-2083 — color/sdf/variance/shading rows carry
+# loss_scale=128/n_rays, eikonal rows the undivided 128, exactly matching
+# this loss's (color+mask)/n_rays + ek split, so the stored vector is
+# 128 × dTotal/doutput elementwise). fp16's max finite is 65504.
+LOSS_SCALE = 128.0
+_FP16_MAX = 65504.0
+
+
+@jax.custom_vjp
+def fp16_grad_barrier(x):
+    """Identity whose cotangent is quantized to the fp16 values the
+    reference's backward actually carries: g → fp16(clip(128·g))/128.
+    Saturating (not inf-on-overflow): a float→half overflow in CUDA makes
+    inf, which would permanently NaN the reference's Adam moments — any
+    run the reference survives therefore never overflows, and the clamp
+    is the honest envelope of its dynamics. Underflow-to-zero and 11-bit
+    mantissa rounding are bit-faithful."""
+    return x
+
+
+def _fp16_barrier_fwd(x):
+    return x, None
+
+
+def _fp16_barrier_bwd(_, g):
+    gq = jnp.clip(g * LOSS_SCALE, -_FP16_MAX, _FP16_MAX)
+    return (gq.astype(jnp.float16).astype(g.dtype) / LOSS_SCALE,)
+
+
+fp16_grad_barrier.defvjp(_fp16_barrier_fwd, _fp16_barrier_bwd)
+
+
+def quantize_grads_fp16(grads):
+    """Parameter-gradient half of the emulation: the reference accumulates
+    hash-table scatters and MLP weight gradients in fp16 at the ×128 scale
+    (grid gradients are network_precision_t, adam.h:88 divides the scale
+    back out). Applied to the final gradient tree before Adam."""
+    def q(g):
+        gq = jnp.clip(g * LOSS_SCALE, -_FP16_MAX, _FP16_MAX)
+        return gq.astype(jnp.float16).astype(g.dtype) / LOSS_SCALE
+    return jax.tree_util.tree_map(q, grads)
+
+
 @functools.lru_cache(maxsize=None)
 def _make_guarded_sqrt(floor: float):
     """√max(x,0) with the derivative regularized by +1e−5 in the
@@ -164,7 +210,22 @@ def training_loss(field_out: Dict[str, jnp.ndarray], samples, batch: RayBatch,
     sdf = field_out["sdf"]
     grad = field_out["grad"]
     albedo_raw = field_out["albedo_raw"]
-    inv_s = jnp.exp(10.0 * field_out["variance"])
+    variance = field_out["variance"]
+    if cfg.fp16_grad_emulation:
+        # the reference's dL/doutput rows, stored as fp16 ×128
+        # (testbed_nerf.cu:1960-2083): rows 0-2 = albedo_raw, 3 = sdf,
+        # 4-6 + 8-10 = ∇sdf (we quantize their summed cotangent; the
+        # reference sums the two fp16 row groups inside its fp16
+        # backward), 7 = variance
+        sdf = fp16_grad_barrier(sdf)
+        grad = fp16_grad_barrier(grad)
+        albedo_raw = fp16_grad_barrier(albedo_raw)
+        # row 7 is written per-sample and reduce_sum'd in fp32
+        # (nerf_network.h:327-340) — broadcast so each sample's dL/dv is
+        # quantized before the sum, like the reference
+        variance = fp16_grad_barrier(
+            jnp.broadcast_to(variance, sdf.shape[:1]))
+    inv_s = jnp.exp(10.0 * variance)
 
     rid = jnp.minimum(samples.ray_id, R - 1)       # clipped gather index
     in_seg = samples.ray_id < R                    # slot belongs to a ray
@@ -259,6 +320,6 @@ def training_loss(field_out: Dict[str, jnp.ndarray], samples, batch: RayBatch,
             jnp.sum(ray_alive.astype(jnp.float32)), 1.0),
         "n_samples_kept": n_kept,
         "n_rays_alive": jnp.sum(ray_alive.astype(jnp.int32)),
-        "inv_s": inv_s,
+        "inv_s": jnp.max(inv_s),
     }
     return total, metrics

@@ -155,6 +155,12 @@ class Trainer:
 
             (loss, metrics), grads = jax.value_and_grad(
                 loss_fn, has_aux=True)(params)
+            if cfg.loss.fp16_grad_emulation:
+                # the reference accumulates parameter gradients in fp16 at
+                # the ×LOSS_SCALE scale (grid scatters + MLP GEMMs are
+                # network_precision_t; adam.h:88 divides it back out)
+                from ..render.losses import quantize_grads_fp16
+                grads = quantize_grads_fp16(grads)
 
             if cfg.train.fractional_from_step is not None:
                 rgb_scale = (step < cfg.train.fractional_from_step
@@ -385,10 +391,49 @@ class Trainer:
             "divergence guard: loss %.3g at step ~%d; rolled back to "
             "step %d, update scale now %.4g (trip %d)", bad_loss, bad_step,
             g["step"], self.lr_scale, self._guard_total_rollbacks)
-        if self._guard_rollbacks > 24:
+        if self._guard_rollbacks > self.cfg.train.guard_max_trips:
+            if self.cfg.train.guard_terminal == "raise":
+                raise RuntimeError(
+                    f"divergence guard: {self.cfg.train.guard_max_trips} "
+                    "near-consecutive rollbacks — training is unstable "
+                    "even at the minimum update scale")
+            self._enter_degraded_mode()
+
+    def _enter_degraded_mode(self) -> None:
+        """Guard terminal mode "degrade": the run must FINISH. Restore the
+        deepest available anchor, permanently disable the RGB+ 4th channel
+        (the only lever every divergence replay shows holds —
+        runs/REPLAY_k0_norgbplus.log; a supported reference mode,
+        main.cu --no-rgbplus) and pin the update scale at its floor.
+        One-time recompile (flags are static in the jit)."""
+        import dataclasses
+        import logging
+        if not self.cfg.flags.apply_rgbplus:
+            # already degraded and STILL tripping the cap — no further
+            # lever exists; dying beats an unbounded rollback livelock
             raise RuntimeError(
-                "divergence guard: 24 near-consecutive rollbacks — "
-                "training is unstable even at the minimum update scale")
+                "divergence guard: trip cap reached again in degraded "
+                "(no-rgbplus) mode — training is unstable with every "
+                "known lever applied")
+        g = self._deep_anchor or self._anchor or self._good
+        if g is not None:
+            self._restore(g)
+        self.cfg = dataclasses.replace(
+            self.cfg, flags=dataclasses.replace(
+                self.cfg.flags, apply_rgbplus=False))
+        self._compiled.clear()
+        self._guard_rollbacks = 0
+        self._guard_windows = 0
+        # with the rgbplus engine removed, full-lr training is inside the
+        # stability basin on every replay — restore the scale so the
+        # remaining steps learn at production speed (the guard stays
+        # armed and will back off again if this proves wrong)
+        self.lr_scale = 1.0
+        logging.getLogger("rnb_neus2_tpu.train").error(
+            "divergence guard: trip cap reached — entering DEGRADED mode "
+            "at step %d: RGB+ 4th channel off for the remainder, update "
+            "scale restored to 1. The mesh will come from a no-rgbplus "
+            "finish.", self.step)
 
     def _guard_check(self, loss_color: float) -> bool:
         """True = healthy. Call with the freshly synced loss BEFORE the

@@ -46,6 +46,11 @@ def metrics(loss, rays=64, n_valid=512.0):
 
 
 def reset(tr):
+    import dataclasses
+    # undo any degraded-mode flag flip a previous test left behind
+    tr.cfg = dataclasses.replace(
+        tr.cfg, flags=dataclasses.replace(tr.cfg.flags, apply_rgbplus=True))
+    tr._compiled.clear()
     tr.lr_scale = 1.0
     tr._good = None
     tr._anchor = None
@@ -159,12 +164,42 @@ def test_guard_disable_flag(trainer):
         tr.cfg = orig
 
 
-def test_rollback_cap_raises(trainer):
+def test_rollback_cap_raises_in_raise_mode(trainer):
+    tr = trainer
+    reset(tr)
+    import dataclasses
+    orig = tr.cfg
+    tr.cfg = dataclasses.replace(orig, train=dataclasses.replace(
+        orig.train, guard_terminal="raise"))
+    try:
+        feed(tr, 0.05)
+        with pytest.raises(RuntimeError, match="divergence guard"):
+            for _ in range(30):
+                feed(tr, 5.0)
+    finally:
+        tr.cfg = orig
+
+
+def test_rollback_cap_degrades_then_finishes(trainer):
+    """Default terminal mode: at the trip cap the run does NOT die — it
+    drops the RGB+ 4th channel (the one replay-proven stabilizer), resets
+    the update scale, and keeps training. Only a SECOND cap in degraded
+    mode raises."""
     tr = trainer
     reset(tr)
     feed(tr, 0.05)
-    with pytest.raises(RuntimeError, match="divergence guard"):
-        for _ in range(30):
+    for _ in range(tr.cfg.train.guard_max_trips + 1):
+        feed(tr, 5.0)
+    # degraded: rgbplus off, counters re-armed, full update scale
+    assert not tr.cfg.flags.apply_rgbplus
+    assert tr.lr_scale == 1.0
+    assert tr._guard_rollbacks == 0
+    # training continues normally in degraded mode
+    out = feed(tr, 0.05)
+    assert "rolled_back" not in out
+    # a second cap with no lever left must terminate
+    with pytest.raises(RuntimeError, match="degraded"):
+        for _ in range(tr.cfg.train.guard_max_trips + 2):
             feed(tr, 5.0)
 
 
@@ -186,7 +221,9 @@ def test_oscillation_livelock_terminates(trainer):
             feed(tr, 5.0, step_advance=32)  # trip at best+32, roll back
             keys.append(np.asarray(tr.key).copy())
             feed(tr, 0.05, step_advance=0)  # heal WITHOUT new progress
-    assert len(keys) < 60, "no-progress oscillation must hit the trip cap"
+    # two caps: one entering degraded mode, one terminating it
+    assert len(keys) < 2 * 30, \
+        "no-progress oscillation must hit the trip cap"
     uniq = {k.tobytes() for k in keys}
     assert len(uniq) == len(keys), "retry PRNG streams must never repeat"
 

@@ -40,6 +40,8 @@ def main():
     ap.add_argument("--floor", type=float, default=None,
                     help="rgbplus_grad_floor override (0 = reference's "
                          "bare +1e-5 jacobian shift)")
+    ap.add_argument("--fp16-emu", action="store_true",
+                    help="emulate the reference's fp16 loss-gradient chain")
     ap.add_argument("--no-guard", action="store_true",
                     help="disable the divergence guard so raw (in)stability "
                          "is observable")
@@ -72,6 +74,8 @@ def main():
         loss = dataclasses.replace(loss, debug_stopgrad_alpha_sdf=True)
     if args.floor is not None:
         loss = dataclasses.replace(loss, rgbplus_grad_floor=args.floor)
+    if args.fp16_emu:
+        loss = dataclasses.replace(loss, fp16_grad_emulation=True)
     cfg = dataclasses.replace(cfg, loss=loss)
     if args.no_guard:
         cfg = dataclasses.replace(cfg, train=dataclasses.replace(

@@ -53,6 +53,10 @@ def main():
                     help="stoch_corner_bwd K (0 = exact)")
     ap.add_argument("--steps", type=int, default=3000)
     ap.add_argument("--tag", default=None)
+    ap.add_argument("--fp16-emu", type=int, default=None,
+                    help="1/0: fp16 loss-gradient-chain emulation")
+    ap.add_argument("--extra", nargs=argparse.REMAINDER, default=[],
+                    help="extra testbed CLI args, verbatim")
     args = ap.parse_args()
     tag = args.tag or f"k{args.k}"
     scene = make_clone(tag)
@@ -63,6 +67,9 @@ def main():
     attempt = int(os.environ.get("_RNB_PROBE_ATTEMPT", "0"))
     argv = ["--scene", scene, "--maxiter", str(args.steps), "--no-gui",
             "--snapshot-each", "200", "--stoch-corner-bwd", str(args.k)]
+    if args.fp16_emu is not None:
+        argv += ["--fp16-grad-emu", str(args.fp16_emu)]
+    argv += args.extra
     snap_path, snap_step = pipeline._latest_snapshot_step(out)
     if snap_path and 0 <= snap_step < args.steps:
         argv += ["--snapshot", snap_path]
