@@ -133,6 +133,49 @@ class Testbed:
         self._dataset = load_transform_json(str(source))
         self._trainer = Trainer(self._dataset, self.cfg)
 
+    def set_camera_intrinsics(self, frame_idx: int, fx: float = 0.0,
+                              fy: float = 0.0, cx: float = -0.5,
+                              cy: float = -0.5, k1: float = 0.0,
+                              k2: float = 0.0, p1: float = 0.0,
+                              p2: float = 0.0) -> None:
+        """Override one view's intrinsics + OpenCV distortion
+        (pyngp Testbed.nerf.training.set_camera_intrinsics,
+        python_api.cu:557-563 → testbed_nerf.cu:2915-2930). Like the
+        reference: a non-positive focal falls back to the other axis, a
+        negative cx/cy is interpreted as already-normalized |cx|, and any
+        nonzero distortion coefficient enables the Iterative model."""
+        import numpy as np
+        import jax.numpy as jnp
+        if self._dataset is None:
+            raise RuntimeError("load_training_data first")
+        cams = self._dataset.cameras
+        n = cams.rot_c2w.shape[0]
+        if not (0 <= frame_idx < n):
+            return
+        W, H = cams.resolution
+        if fx <= 0.0:
+            fx = fy
+        if fy <= 0.0:
+            fy = fx
+        cx = -cx if cx < 0.0 else cx / W
+        cy = -cy if cy < 0.0 else cy / H
+        focal = np.array(cams.focal)
+        pp = np.array(cams.principal)
+        focal[frame_idx] = (fx, fy)
+        pp[frame_idx] = (cx, cy)
+        dist = (np.array(cams.distortion) if cams.distortion is not None
+                else np.zeros((n, 4), np.float32))
+        dist[frame_idx] = (k1, k2, p1, p2)
+        cams = cams._replace(
+            focal=jnp.asarray(focal), principal=jnp.asarray(pp),
+            distortion=jnp.asarray(dist) if np.any(dist) else None)
+        self._dataset.cameras = cams
+        if self._trainer is not None:
+            # compiled step fns close over the old camera arrays as
+            # constants — they must be rebuilt against the new intrinsics
+            self._trainer.dataset = self._dataset
+            self._trainer._compiled.clear()
+
     def reload_network_from_file(self, path: str = "") -> None:
         from .config import TestbedConfig
         from .train.trainer import Trainer

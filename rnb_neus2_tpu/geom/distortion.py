@@ -14,11 +14,14 @@ import jax.numpy as jnp
 
 
 def apply_distortion(params: jnp.ndarray, x: jnp.ndarray, y: jnp.ndarray):
-    """OpenCV model: params = [k1, k2, p1, p2, k3, k4]; returns (dx, dy)
-    displacement such that distorted = (x+dx, y+dy)."""
-    k1, k2, p1, p2 = params[0], params[1], params[2], params[3]
-    k3 = params[4] if params.shape[0] > 4 else 0.0
-    k4 = params[5] if params.shape[0] > 5 else 0.0
+    """OpenCV model: params = [..., [k1, k2, p1, p2, (k3, k4)]]; returns
+    (dx, dy) displacement such that distorted = (x+dx, y+dy). The leading
+    dims of params broadcast against x/y (per-ray parameters from
+    set_camera_intrinsics-style per-view distortion)."""
+    k1, k2 = params[..., 0], params[..., 1]
+    p1, p2 = params[..., 2], params[..., 3]
+    k3 = params[..., 4] if params.shape[-1] > 4 else 0.0
+    k4 = params[..., 5] if params.shape[-1] > 5 else 0.0
     x2, y2, xy = x * x, y * y, x * y
     r2 = x2 + y2
     radial = r2 * (k1 + r2 * (k2 + r2 * (k3 + r2 * k4)))

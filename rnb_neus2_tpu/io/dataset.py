@@ -115,12 +115,29 @@ def load_transform_json(scene_dir: str) -> TrainingDataset:
         a_a.append(a_alpha)
         skips.append((nrm_raw[..., 0] == 0) | (nrm_raw[..., 3] == 0))
 
+    # top-level lens distortion, shared by all frames like the reference
+    # (nerf_loader.cu:432-497: k1/k2/p1/p2 → Iterative mode if any key is
+    # nonzero; ftheta_p0..p4 + w/h → FTheta)
+    n_frames = len(tj["frames"])
+    distortion = None
+    ftheta = None
+    k = [float(tj.get(key, 0.0)) for key in ("k1", "k2", "p1", "p2")]
+    if any(v != 0.0 for v in k):
+        distortion = jnp.broadcast_to(
+            jnp.asarray(k, jnp.float32), (n_frames, 4))
+    if "ftheta_p0" in tj:
+        ftheta = jnp.asarray(
+            [float(tj[f"ftheta_p{i}"]) for i in range(5)] + [W, H],
+            jnp.float32)
+
     cams = Cameras(
         rot_c2w=jnp.asarray(np.stack(rots)),
         origin=jnp.asarray(np.stack(origins)),
         focal=jnp.asarray(np.stack(focals), jnp.float32),
         principal=jnp.asarray(np.stack(pps), jnp.float32),
         resolution=(W, H),
+        distortion=distortion,
+        ftheta=ftheta,
     )
     alpha_n = np.stack(a_n)
     return TrainingDataset(

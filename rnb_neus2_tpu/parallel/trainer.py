@@ -51,6 +51,16 @@ class ParallelTrainer(Trainer):
             raise ValueError(
                 f"ParallelTrainer needs >= 2 devices, have {len(devices)}; "
                 "use train.Trainer on a single chip")
+        if (cfg.train.sample_image_proportional_to_error
+                or cfg.train.sample_focal_plane_proportional_to_error):
+            # the parallel path skips error-map accumulation (module
+            # docstring) — silently training with a never-updated CDF
+            # would change behavior vs --n-chips 1, so refuse loudly
+            raise ValueError(
+                "error-map-proportional sampling is not supported on the "
+                "multi-chip path (the map is not accumulated there); "
+                "disable sample_*_proportional_to_error or run with "
+                "--n-chips 1")
         self.mesh = make_mesh(devices, axis)
         self.axis = axis
         self.n_dev = len(devices)
@@ -117,6 +127,9 @@ class ParallelTrainer(Trainer):
                     lr_scale):
             keys = jax.random.split(key, n_dev)
             grads, metrics = grad_fn(params, bitfield, keys, step)
+            if cfg.loss.fp16_grad_emulation:
+                from ..render.losses import quantize_grads_fp16
+                grads = quantize_grads_fp16(grads)
             if cfg.train.fractional_from_step is not None:
                 rgb_scale = (step < cfg.train.fractional_from_step
                              ).astype(jnp.float32)

@@ -1,9 +1,9 @@
-"""Per-view camera refinement: extrinsics + exposure.
+"""Per-view camera refinement: extrinsics + exposure + focal length.
 
 Reference capability (include/…/adam_optimizer.h per-image AdamOptimizer /
 RotationAdamOptimizer, stepped in train_nerf src/testbed_nerf.cu:3761-3841;
-toggles m_nerf.training.optimize_extrinsics / optimize_exposure, default
-OFF in the RNb pipeline). Here:
+toggles m_nerf.training.optimize_extrinsics / optimize_exposure /
+optimize_focal_length, default OFF in the RNb pipeline). Here:
 
 - extrinsics: a trainable SE(3) delta per view (axis-angle rotation +
   translation, like the reference's rot/pos adams) applied to that view's
@@ -12,7 +12,12 @@ OFF in the RNb pipeline). Here:
 - exposure: per-view log2 RGB scale applied to the decoded GT values,
   value' = linear_to_srgb(2^e · srgb_to_linear(value)) — exactly the
   engine's exposure_scale·texsamp composition (testbed_nerf.cu:1504-1524)
-  expressed on the pre-decoded images.
+  expressed on the pre-decoded images;
+- focal length: ONE shared (fx, fy) relative offset for all views, like
+  the reference's single cam_focal_length_offset AdamOptimizer<Vector2f>
+  (testbed.h:613, stepped at testbed_nerf.cu:3799-3810): the effective
+  focal is base·(1+offset), applied in camera space by rescaling the
+  normalized-plane ray coordinates.
 
 Trained jointly with the field by a dedicated Adam, mirroring
 n_steps_between_cam_updates semantics at cadence 1.
@@ -31,11 +36,13 @@ class CameraRefineParams(NamedTuple):
     rot: jnp.ndarray        # (N, 3) axis-angle deltas
     trans: jnp.ndarray      # (N, 3)
     exposure: jnp.ndarray   # (N, 3) log2 RGB scales
+    focal: jnp.ndarray      # (2,) shared relative (fx, fy) offset
 
 
 def init_refine_params(n_views: int) -> CameraRefineParams:
     z = jnp.zeros((n_views, 3), jnp.float32)
-    return CameraRefineParams(rot=z, trans=z, exposure=z)
+    return CameraRefineParams(rot=z, trans=z, exposure=z,
+                              focal=jnp.zeros((2,), jnp.float32))
 
 
 def axis_angle_to_matrix(aa: jnp.ndarray) -> jnp.ndarray:
@@ -58,11 +65,24 @@ def axis_angle_to_matrix(aa: jnp.ndarray) -> jnp.ndarray:
 
 
 def refine_rays(params: CameraRefineParams, img: jnp.ndarray,
-                ray_o: jnp.ndarray, ray_d: jnp.ndarray):
-    """Apply each ray's per-view SE(3) delta."""
+                ray_o: jnp.ndarray, ray_d: jnp.ndarray,
+                rot_c2w: jnp.ndarray | None = None):
+    """Apply each ray's per-view SE(3) delta, and — when the per-view
+    camera rotations are supplied — the shared focal offset: the
+    effective focal fx·(1+offset) divides the normalized-plane ray
+    coordinates, so the adjustment is a camera-space rescale of the
+    direction's x/y before the extrinsic delta."""
+    d = ray_d
+    if rot_c2w is not None:
+        dc = jnp.einsum("rji,rj->ri", rot_c2w, d)      # R_view^T · d
+        dc = dc / dc[..., 2:3]
+        scale = 1.0 + params.focal                     # (2,)
+        dc = jnp.concatenate([dc[..., :2] / scale, dc[..., 2:]], axis=-1)
+        d = jnp.einsum("rij,rj->ri", rot_c2w, dc)
+        d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
     R = axis_angle_to_matrix(params.rot[img])          # (R,3,3)
     o = jnp.einsum("rij,rj->ri", R, ray_o) + params.trans[img]
-    d = jnp.einsum("rij,rj->ri", R, ray_d)
+    d = jnp.einsum("rij,rj->ri", R, d)
     return o, d
 
 

@@ -54,6 +54,39 @@ def test_api_surface(tmp_path):
     assert set(m.keys()) == {"V", "N", "C", "F"}
 
 
+def test_set_camera_intrinsics(tmp_path):
+    """pyngp parity: set_camera_intrinsics overrides one view's focal /
+    principal point / OpenCV distortion with the reference's argument
+    conventions (testbed_nerf.cu:2915-2930)."""
+    scene = tmp_path / "scene"
+    write_prepared_scene(str(scene), n_views=3, width=16, height=16,
+                         radius=0.2)
+    cfg = TestbedConfig(
+        grid=HashGridConfig(n_levels=3, top_resolution=32),
+        train=TrainConfig(target_batch_size=1 << 10,
+                          initial_rays_per_batch=64, occ_grid_size=16,
+                          max_steps=2),
+        march=MarchConfig(n_ladder=128))
+    tb = ngp.Testbed(ngp.TestbedMode.Nerf, cfg)
+    tb.load_training_data(str(scene))
+    # fx<=0 falls back to fy; negative cx/cy means already-normalized |c|
+    tb.set_camera_intrinsics(1, fx=0.0, fy=20.0, cx=-0.25, cy=8.0,
+                             k1=-0.1, k2=0.01)
+    cams = tb._dataset.cameras
+    np.testing.assert_allclose(np.asarray(cams.focal[1]), [20.0, 20.0])
+    np.testing.assert_allclose(np.asarray(cams.principal[1]), [0.25, 0.5])
+    assert cams.distortion is not None
+    np.testing.assert_allclose(np.asarray(cams.distortion[1]),
+                               [-0.1, 0.01, 0.0, 0.0], atol=1e-7)
+    # other views keep ideal pinholes
+    assert np.all(np.asarray(cams.distortion[0]) == 0)
+    # out-of-range frame index is a silent no-op, like the reference
+    tb.set_camera_intrinsics(99, fx=1.0, fy=1.0)
+    # training still runs with the distorted camera in the batch
+    tb.train(2)
+    assert np.isfinite(tb.loss)
+
+
 # ---------------------------------------------------------------------------
 # mode selection through the facade (ETestbedMode, python_api.cu:219-616)
 # ---------------------------------------------------------------------------

@@ -37,8 +37,9 @@ def test_exposure_roundtrip():
     assert np.all(out > np.asarray(v))
 
 
-@pytest.mark.slow  # 400-step pose optimization
-def test_pose_refinement_recovers_offset():
+@pytest.fixture(scope="module")
+def refine_field():
+    """A converged field + dataset shared by the pose and focal tests."""
     ds = sphere_dataset(n_views=6, width=32, height=32, radius=0.2)
     cfg = TestbedConfig(
         grid=HashGridConfig(n_levels=4, top_resolution=64),
@@ -49,6 +50,12 @@ def test_pose_refinement_recovers_offset():
     tr = Trainer(ds, cfg)
     for _ in range(900):
         tr.train_step()
+    return ds, cfg, tr
+
+
+@pytest.mark.slow  # 400-step pose optimization
+def test_pose_refinement_recovers_offset(refine_field):
+    ds, cfg, tr = refine_field
 
     # perturb view 0's rays by a known translation; the refiner must undo it
     TRUE_T = jnp.asarray([0.03, -0.02, 0.0])
@@ -93,3 +100,60 @@ def test_pose_refinement_recovers_offset():
     err = np.linalg.norm(t0 + np.asarray(TRUE_T))
     assert err < 0.6 * float(jnp.linalg.norm(TRUE_T)), t0
     assert np.abs(others).max() < 0.02
+
+
+@pytest.mark.slow  # 400-step focal optimization
+def test_focal_refinement_recovers_offset(refine_field):
+    """The shared focal offset (cam_focal_length_offset,
+    testbed_nerf.cu:3799-3810): corrupt every ray as if calibrated with
+    focal × (1+CORRUPT); the refiner's focal offset must drive the
+    EFFECTIVE focal back toward truth, i.e. (1+CORRUPT)(1+learned) → 1."""
+    ds, cfg, tr = refine_field
+    CORRUPT = 0.06
+    corrupt_params = cr.init_refine_params(ds.n_images)._replace(
+        focal=jnp.full((2,), CORRUPT, jnp.float32))
+    params = cr.init_refine_params(ds.n_images)
+    tx = cr.make_refiner(2e-3)
+    state = tx.init(params)
+    import dataclasses as dc
+    loss_cfg = dc.replace(cfg.loss, ek_loss_weight=0.0)
+
+    @jax.jit
+    def step(p, s, key):
+        batch, samples, _, (img, xy) = sample_ray_batch(
+            ds, tr.occ.bitfield, key, 4096,
+            cfg.train.target_batch_size, cfg.march)
+        rot = ds.cameras.rot_c2w[img]
+
+        def loss_fn(pp):
+            # corrupt (fixed) then refine (trainable), both as focal
+            # rescales in camera space
+            o1, d1 = cr.refine_rays(corrupt_params, img, batch.ray_o,
+                                    batch.ray_d, rot_c2w=rot)
+            o2, d2 = cr.refine_rays(pp, img, o1, d1, rot_c2w=rot)
+            rid = jnp.minimum(samples.ray_id, 4096 - 1)
+            pos2 = jnp.clip(o2[rid] + samples.t[:, None] * d2[rid], 0, 1)
+            batch2 = batch._replace(ray_o=o2, ray_d=d2, sample_attrs=None)
+            out = tr.field.apply(tr.params, pos2,
+                                 differentiable_positions=True)
+            total, _ = training_loss(out, samples, batch2, cfg.flags,
+                                     loss_cfg, 1.0)
+            return total
+
+        l, g = jax.value_and_grad(loss_fn)(p)
+        # isolate the focal channel (the reference's optimize_focal_length
+        # toggle steps only cam_focal_length_offset)
+        g = g._replace(rot=jnp.zeros_like(g.rot),
+                       trans=jnp.zeros_like(g.trans),
+                       exposure=jnp.zeros_like(g.exposure))
+        up, s = tx.update(g, s, p)
+        return optax.apply_updates(p, up), s, l
+
+    key = jax.random.PRNGKey(0)
+    for _ in range(400):
+        key, k = jax.random.split(key)
+        params, state, l = step(params, state, k)
+    eff = (1.0 + CORRUPT) * (1.0 + np.asarray(params.focal))
+    # at least 40% of the miscalibration recovered on both axes, and the
+    # correction must move the right way, not overshoot into new error
+    assert np.all(np.abs(eff - 1.0) < 0.6 * CORRUPT), eff

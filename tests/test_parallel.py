@@ -32,6 +32,18 @@ def test_eight_device_mesh_available():
     assert len(jax.devices()) == 8
 
 
+def test_error_map_sampling_refused_multichip(setup):
+    """The parallel path never accumulates the error map, so enabling the
+    proportional-sampling knobs with >1 chip must hard-error instead of
+    silently changing behavior vs --n-chips 1."""
+    import dataclasses
+    ds, cfg = setup
+    bad = dataclasses.replace(cfg, train=dataclasses.replace(
+        cfg.train, sample_image_proportional_to_error=True))
+    with pytest.raises(ValueError, match="error-map"):
+        ParallelTrainer(ds, bad)
+
+
 def test_parallel_trainer_replicated_and_finite(setup):
     """One sharded step: occupancy forms, params move, every leaf stays
     finite and identical across devices (the psum'd grads + replicated
