@@ -92,9 +92,10 @@ class _ExtraModeDriver:
             H = H or img.shape[0]
             W = W or img.shape[1]
             return self.field.render(self.params, W, H)
-        raise NotImplementedError(
-            f"render_to_cpu for mode {self.mode}: use the field object "
-            "(sphere tracing / volume rendering helpers)")
+        # Sdf: sphere-traced BRDF shade (testbed_sdf.cu render path);
+        # Volume: ratio-tracked density compositor (testbed_volume.cu)
+        assert self.params is not None, "train first"
+        return self.field.render(self.params, W=W or 256, H=H or 256)
 
 
 class Testbed:
@@ -234,11 +235,13 @@ class Testbed:
 
     # -- rendering -------------------------------------------------------------
 
-    def render_to_cpu(self, view_idx: int = 0, max_samples: int = 256
-                      ) -> np.ndarray:
-        """Render a training view → (H, W, 4) float RGBA."""
+    def render_to_cpu(self, view_idx: int = 0, max_samples: int = 256,
+                      W: int = 0, H: int = 0) -> np.ndarray:
+        """Render a training view → (H, W, 4) float RGBA. W/H override
+        the output size for the extra modes (pyngp render(width, height),
+        python_api.cu)."""
         if self._extra is not None:
-            return self._extra.render()
+            return self._extra.render(W, H)
         from .render.renderer import render_view
 
         out = render_view(self._trainer.field,

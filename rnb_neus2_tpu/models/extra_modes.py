@@ -239,6 +239,16 @@ class SdfField:
             return params, state, float(l)
         return params, float(l)
 
+    def render(self, params=None, W=256, H=256, mode="shade", **kw):
+        """Sphere-traced render frame (testbed_sdf.cu render_sdf +
+        shade_kernel_sdf): modes shade/normals/depth/ao/positions/cost.
+        Returns (H, W, 4) float RGBA."""
+        from ..render.sdf_volume_render import render_sdf
+        params = self.params if params is None else params
+        rgba, _ = render_sdf(lambda p: self._sdf(params, p), W, H,
+                             mode=mode, **kw)
+        return np.asarray(rgba)
+
     def calculate_iou(self, n_samples=1 << 15, seed=0) -> float:
         """Volumetric IoU vs the GT mesh (Testbed::calculate_iou)."""
         rng = np.random.default_rng(seed)
@@ -300,3 +310,12 @@ class VolumeField:
         if return_state:
             return params, state, float(l)
         return params, float(l)
+
+    def render(self, params=None, W=256, H=256, **kw):
+        """Ratio-tracked render frame of the fitted density
+        (volume_render_kernel_step, testbed_volume.cu:330-392) against
+        the procedural sun/sky envmap. Returns (H, W, 4) float RGBA."""
+        from ..render.sdf_volume_render import render_volume
+        params = self.params if params is None else params
+        rgba = render_volume(lambda p: self.apply(params, p), W, H, **kw)
+        return np.asarray(rgba)

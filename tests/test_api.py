@@ -121,6 +121,12 @@ def test_sdf_mode_through_facade():
     tb.train(150)
     iou = tb.calculate_iou(n_samples=4096)
     assert iou > 0.6, iou
+    # sphere-traced render through the facade (api.py render_to_cpu for
+    # Sdf mode was a NotImplementedError until round 3)
+    img = tb.render_to_cpu(W=32, H=32)
+    assert img.shape == (32, 32, 4)
+    assert np.isfinite(img).all()
+    assert img[..., 3].max() == 1.0 and img[..., 3].min() == 0.0
 
 
 def test_volume_mode_through_facade():
@@ -132,3 +138,7 @@ def test_volume_mode_through_facade():
     tb.load_training_data(vol)
     tb.train(200)
     assert tb.loss < 0.01, tb.loss
+    # ratio-tracked render through the facade
+    img = tb.render_to_cpu(W=32, H=32)
+    assert img.shape == (32, 32, 4)
+    assert np.isfinite(img).all()
