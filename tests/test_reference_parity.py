@@ -165,6 +165,95 @@ def test_prepare_outputs_bitwise_parity(ref_pkg, tmp_path):
             np.testing.assert_array_equal(a, b, err_msg=f"{sub}/{name}")
 
 
+def test_composite_scene_prepare_parity(ref_pkg, tmp_path):
+    """VERDICT r2 item #6: the ACTUAL run scene's content through the
+    reference's own prepare. Renders the composite analytic scene (the
+    10k-run stand-in for DiLiGenT-MV) to RAW loader-contract inputs —
+    real normal maps, partial masks, bright/dark albedo — and requires
+    our prepare to match the reference's bit for bit on the production
+    scaling mode (silhouettes_v2), plus a decode round-trip: loading the
+    REFERENCE-prepared directory with our training dataset loader must
+    recover the analytic camera-space normals inside the mask. This
+    pins the entire data layer out of the divergence investigation."""
+    ref_prepare, _ = ref_pkg
+    from rnb_neus2_tpu.testing.synthetic import (render_composite_views,
+                                                 ring_cameras)
+
+    W, H = 128, 153
+    cams = ring_cameras(4, 1.6, W, H, focal=225.0)
+    normals, albedo, alphas = render_composite_views(cams)
+    rots = np.asarray(cams.rot_c2w)
+    origins = np.asarray(cams.origin)
+
+    raw = tmp_path / "raw"
+    raw.mkdir()
+    views = []
+    for i in range(4):
+        # raw input convention = the stored normal convention (the y/z
+        # negation happens at training time, testbed_nerf.cu:1507-1510)
+        stored = normals[i] * np.array([1.0, -1.0, -1.0])
+        npth = str(raw / f"n_{i}.png")
+        cv2.imwrite(npth, ((stored[..., ::-1] + 1) / 2 * 65535
+                           ).astype(np.uint16))
+        apth = str(raw / f"a_{i}.png")
+        cv2.imwrite(apth, (albedo[i][..., ::-1] * 65535).astype(np.uint16))
+        mpth = str(raw / f"m_{i}.png")
+        cv2.imwrite(mpth, (alphas[i] * 255).astype(np.uint8))
+        c2w = np.eye(4, dtype=np.float64)
+        c2w[:3, :3] = rots[i]
+        c2w[:3, 3] = (origins[i] - 0.5) / 0.5      # world coords
+        K = np.eye(4, dtype=np.float64)
+        K[0, 0] = K[1, 1] = 225.0
+        K[0, 2], K[1, 2] = W / 2, H / 2
+        views.append({"c2w": c2w, "K": K, "normal_path": npth,
+                      "albedo_path": apth, "mask_path": mpth,
+                      "pose_id": str(i)})
+    data = {"views": views, "landmarks": None,
+            "image_width": W, "image_height": H, "scale_mat": None}
+
+    out_ref = str(tmp_path / "ref")
+    out_ours = str(tmp_path / "ours")
+    ref_prepare.prepare_testbed_data(data, out_ref, _Quiet(),
+                                     scaling_mode="silhouettes_v2")
+    from rnb_neus2_tpu.io.prepare import prepare_testbed_data
+    prepare_testbed_data(data, out_ours, _Quiet(),
+                         scaling_mode="silhouettes_v2")
+
+    tj_r = json.load(open(os.path.join(out_ref, "transform.json")))
+    tj_o = json.load(open(os.path.join(out_ours, "transform.json")))
+    for k in ("w", "h", "aabb_scale", "scale", "offset", "from_na"):
+        assert tj_o[k] == tj_r[k], k
+    np.testing.assert_allclose(tj_o["n2w"], tj_r["n2w"], rtol=1e-6,
+                               atol=1e-9)
+    for fo, fr in zip(tj_o["frames"], tj_r["frames"]):
+        np.testing.assert_allclose(fo["transform_matrix"],
+                                   fr["transform_matrix"], atol=1e-5)
+        np.testing.assert_allclose(fo["intrinsic_matrix"],
+                                   fr["intrinsic_matrix"], rtol=1e-6)
+    for sub in ("normals", "albedos"):
+        for name in sorted(os.listdir(os.path.join(out_ref, sub))):
+            a = cv2.imread(os.path.join(out_ref, sub, name),
+                           cv2.IMREAD_UNCHANGED)
+            b = cv2.imread(os.path.join(out_ours, sub, name),
+                           cv2.IMREAD_UNCHANGED)
+            np.testing.assert_array_equal(a, b, err_msg=f"{sub}/{name}")
+
+    # decode round-trip: OUR training loader on the REF-prepared dir
+    # recovers the analytic camera normals (the loader applies the
+    # training-time y/z negation, so it must undo the storage flip)
+    from rnb_neus2_tpu.io.dataset import load_transform_json
+    ds = load_transform_json(out_ref)
+    dec = np.asarray(ds.normals)
+    mask = np.asarray(ds.alpha_normal) > 0.99
+    for i in range(4):
+        m = mask[i]
+        if m.sum() == 0:
+            continue
+        err = np.linalg.norm(dec[i][m] - normals[i][m], axis=-1)
+        # 16-bit quantization + sRGB decode round-trip tolerance
+        assert np.percentile(err, 99) < 0.01, err.max()
+
+
 def test_idr_loader_parity(ref_pkg, tmp_path):
     import rnb_neus2.dataloaders as ref_dl
     from rnb_neus2_tpu.io import dataloaders as ours

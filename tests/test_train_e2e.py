@@ -156,12 +156,14 @@ def test_adaptive_batch_controller_trajectory(trained):
     assert 0.4 < np.median(late) < 2.5, np.median(late)
 
 
-def test_stochastic_corner_bwd_convergence_ab():
-    """A/B: training with the stochastic corner backward (K=2 of 8 corners
+@pytest.mark.parametrize("k", [1, 2])
+def test_stochastic_corner_bwd_convergence_ab(k):
+    """A/B: training with the stochastic corner backward (K of 8 corners
     on hashed levels, NetworkConfig.stoch_corner_bwd) must converge to the
     same late-phase loss as the exact 8-corner backward, within the runs'
-    own step-to-step noise. This is the convergence-parity evidence for
-    the perf knob (the unbiasedness itself is proven in
+    own step-to-step noise. Parametrized over both the shipped default
+    (K=1) and K=2 so the default always has in-tree convergence evidence.
+    (The unbiasedness itself is proven in
     test_hash_encoding.py::test_stochastic_corner_bwd_unbiased)."""
     from rnb_neus2_tpu.config import NetworkConfig
 
@@ -182,7 +184,7 @@ def test_stochastic_corner_bwd_convergence_ab():
         losses = [tr.train_step()["loss_color"] for _ in range(500)]
         return np.asarray(losses, np.float64)
 
-    a, b = run(0), run(2)
+    a, b = run(0), run(k)
     assert not np.allclose(a[-50:], b[-50:])   # paths really differ
     tail_a, tail_b = a[-150:], b[-150:]
     gap = abs(tail_a.mean() - tail_b.mean())
