@@ -28,6 +28,16 @@ Memory: three int32 edge-id grids + the f32 volume ≈ 16·res³ bytes
 (2.7 GB at 512³) — comfortably in HBM at the pipeline resolutions up to
 640; `extract_mesh` keeps the host path for larger grids (1024³ works
 there, ~26 GB host RAM).
+
+Layout discipline: every capacity-sized tensor is a 1-D column. The
+natural shapes — V (cap, 3), the (C, 12) edge gather, the (C, 5, 3)
+triangle lookup, F (face_cap, 3) — carry tiny minor dims that this
+backend tile-pads to (8, 128) lanes: the (C, 5, 3) int32 intermediate
+alone materialized as a 34 GB allocation at 512³ and OOM'd the one-jit
+path on the 16 GB chip (the first real-chip 512³ extraction,
+runs/RUN_r2c_composite10k.log — earlier validation had run the one-jit
+path on CPU only, where no tiling exists). Same lesson as the hash
+encoding's per-corner columns (DESIGN.md kernel war round 3).
 """
 
 from __future__ import annotations
@@ -44,24 +54,66 @@ from .mc_tables import TRIANGLE_TABLE
 # triangles per cube case (0..5), host-derived from the table
 _TRI_COUNT = np.sum(TRIANGLE_TABLE[:, :15].reshape(256, 5, 3)[:, :, 0] >= 0,
                     axis=1).astype(np.int32)
+# 15 per-(triangle, vertex) 256-entry columns of the Bourke table: all
+# device tensors stay 1-D (see _emit_face_cols)
+_TRI_COLS = [TRIANGLE_TABLE[:, t * 3 + v].astype(np.int32)
+             for t in range(5) for v in range(3)]
 
 
 def _iota3(shape, dim):
     return jax.lax.broadcasted_iota(jnp.int32, shape, dim)
 
 
+def _emit_face_cols(g0, g1, g2, ax, ay, az, cell_mask, cell_tbase, live,
+                    face_cap: int):
+    """Face emission with 1-D columns only.
+
+    The natural tensors here — the (C, 12) per-cell edge-id gather, the
+    (C, 5, 3) triangle-table lookup, the (face_cap, 3) output — all carry
+    tiny minor dims, which this backend tile-pads to (8, 128): at 512³
+    the (C, 5, 3) int32 intermediate materialized as a 34 GB allocation
+    and OOM'd the one-jit path on a 16 GB chip (run log
+    runs/RUN_r2c_composite10k.log, 'falling back to the host path').
+    Column form: 12 per-edge (C,) gathers, 15 per-(tri, vertex) 256-way
+    select chains, three (face_cap,) output columns. Identical output
+    order (parity-tested against the host oracle)."""
+    e_cols = [
+        g0[ax, ay, az], g1[ax + 1, ay, az], g0[ax, ay + 1, az],
+        g1[ax, ay, az], g0[ax, ay, az + 1], g1[ax + 1, ay, az + 1],
+        g0[ax, ay + 1, az + 1], g1[ax, ay, az + 1], g2[ax, ay, az],
+        g2[ax + 1, ay, az], g2[ax + 1, ay + 1, az], g2[ax, ay + 1, az],
+    ]                                                     # 12 × (C,)
+    Fc = [jnp.zeros((face_cap,), jnp.int32) for _ in range(3)]
+    cnt = jnp.zeros_like(cell_tbase)
+    for t in range(5):
+        tri0 = jnp.asarray(_TRI_COLS[t * 3])[cell_mask]   # (C,)
+        valid = (tri0 >= 0) & live
+        cnt = cnt + valid.astype(jnp.int32)
+        fdest = jnp.where(valid, cell_tbase + cnt - 1, face_cap)
+        for v in range(3):
+            tri_tv = (tri0 if v == 0
+                      else jnp.asarray(_TRI_COLS[t * 3 + v])[cell_mask])
+            # data-dependent pick among the 12 edge columns as a select
+            # chain (elementwise — no padded gather)
+            sel = e_cols[0]
+            for k in range(1, 12):
+                sel = jnp.where(tri_tv == k, e_cols[k], sel)
+            Fc[v] = Fc[v].at[fdest].set(sel, mode="drop")
+    return Fc
+
+
 @functools.partial(jax.jit, static_argnames=("vert_cap", "face_cap"))
 def _mc_device(vol, thresh, vert_cap: int, face_cap: int):
-    """vol (X,Y,Z) f32 → (V (vert_cap,3) f32 in GRID units, F (face_cap,3)
-    i32, n_verts i32, n_faces i32)."""
+    """vol (X,Y,Z) f32 → (V 3×(vert_cap,) f32 coordinate columns in GRID
+    units, F 3×(face_cap,) i32 vertex-id columns, n_verts, n_faces).
+    Column outputs on purpose: (cap, 3) buffers tile-pad 3 → 128 lanes on
+    this backend (42×) — see _emit_face_cols."""
     X, Y, Z = vol.shape
     inside = vol > thresh
 
-    tri_table = jnp.asarray(TRIANGLE_TABLE[:, :15].reshape(256, 5, 3),
-                            jnp.int32)
     tri_count = jnp.asarray(_TRI_COUNT)
 
-    V = jnp.zeros((vert_cap, 3), jnp.float32)
+    Vc = [jnp.zeros((vert_cap,), jnp.float32) for _ in range(3)]
     axis_slices = (
         (inside[:-1, :, :], inside[1:, :, :], vol[:-1, :, :], vol[1:, :, :]),
         (inside[:, :-1, :], inside[:, 1:, :], vol[:, :-1, :], vol[:, 1:, :]),
@@ -86,7 +138,8 @@ def _mc_device(vol, thresh, vert_cap: int, face_cap: int):
         p = [px, py, pz]
         p[axis] = p[axis] + dt
         dest = jnp.where(hit, ids, vert_cap)     # drop non-crossings
-        V = V.at[dest].set(jnp.stack(p, axis=1), mode="drop")
+        for d in range(3):
+            Vc[d] = Vc[d].at[dest].set(p[d], mode="drop")
         id_grids.append(ids.reshape(shape))
         base = base + n_axis
         counts.append(n_axis)
@@ -128,32 +181,9 @@ def _mc_device(vol, thresh, vert_cap: int, face_cap: int):
     # local edge order = gen_faces (marching_cubes.cu:690-703), as in the
     # host implementation
     g0, g1, g2 = id_grids
-    e = jnp.stack([
-        g0[ax, ay, az],
-        g1[ax + 1, ay, az],
-        g0[ax, ay + 1, az],
-        g1[ax, ay, az],
-        g0[ax, ay, az + 1],
-        g1[ax + 1, ay, az + 1],
-        g0[ax, ay + 1, az + 1],
-        g1[ax, ay, az + 1],
-        g2[ax, ay, az],
-        g2[ax + 1, ay, az],
-        g2[ax + 1, ay + 1, az],
-        g2[ax, ay + 1, az],
-    ], axis=1)                                            # (C, 12)
-
-    tri = tri_table[cell_mask]                            # (C, 5, 3)
-    valid = (tri[:, :, 0] >= 0) & live[:, None]           # (C, 5)
-    fdest = jnp.where(valid, cell_tbase[:, None]
-                      + jnp.cumsum(valid.astype(jnp.int32), axis=1) - 1,
-                      face_cap)
-    C = e.shape[0]
-    edge_ids = e[jnp.arange(C, dtype=jnp.int32)[:, None, None],
-                 jnp.maximum(tri, 0)]                     # (C, 5, 3)
-    F = jnp.zeros((face_cap, 3), jnp.int32).at[fdest.reshape(-1)].set(
-        edge_ids.reshape(-1, 3), mode="drop")
-    return V, F, n_verts, n_faces
+    Fc = _emit_face_cols(g0, g1, g2, ax, ay, az, cell_mask, cell_tbase,
+                         live, face_cap)
+    return tuple(Vc), tuple(Fc), n_verts, n_faces
 
 
 def _mask8(ins):
@@ -212,8 +242,6 @@ def _slab_emit(vol, thresh, x0, base0, base1, base2, base1_next,
     sv = jax.lax.dynamic_slice(vol, (x0, 0, 0), (sc + 1, Y, Z))
     ins = sv > thresh
     x0f = x0.astype(jnp.float32)
-    tri_table = jnp.asarray(TRIANGLE_TABLE[:, :15].reshape(256, 5, 3),
-                            jnp.int32)
     tri_count = jnp.asarray(_TRI_COUNT)
 
     def axis_verts(i0, i1, f0, f1, axis, cap, n_planes):
@@ -228,8 +256,8 @@ def _slab_emit(vol, thresh, x0, base0, base1, base2, base1_next,
         p[axis] = p[axis] + dt
         p[0] = p[0] + x0f
         dest = jnp.where(hit, local, cap)
-        V = jnp.zeros((cap, 3), jnp.float32).at[dest].set(
-            jnp.stack(p, axis=1), mode="drop")
+        V = tuple(jnp.zeros((cap,), jnp.float32).at[dest].set(
+            p[d], mode="drop") for d in range(3))
         return V, n, local.reshape(shape), hit.reshape(shape)
 
     # axis 0: edges (x, x+1), x local in [0, sc)
@@ -281,24 +309,9 @@ def _slab_emit(vol, thresh, x0, base0, base1, base2, base1_next,
     az = cell_flat % (Z - 1)
     ay = (cell_flat // (Z - 1)) % (Y - 1)
     ax = cell_flat // ((Z - 1) * (Y - 1))
-    e = jnp.stack([
-        g0[ax, ay, az], g1[ax + 1, ay, az], g0[ax, ay + 1, az],
-        g1[ax, ay, az], g0[ax, ay, az + 1], g1[ax + 1, ay, az + 1],
-        g0[ax, ay + 1, az + 1], g1[ax, ay, az + 1], g2[ax, ay, az],
-        g2[ax + 1, ay, az], g2[ax + 1, ay + 1, az], g2[ax, ay + 1, az],
-    ], axis=1)
-
-    tri = tri_table[cell_mask]
-    valid = (tri[:, :, 0] >= 0) & live[:, None]
-    fdest = jnp.where(valid, cell_tbase[:, None]
-                      + jnp.cumsum(valid.astype(jnp.int32), axis=1) - 1,
-                      face_cap)
-    C = e.shape[0]
-    edge_ids = e[jnp.arange(C, dtype=jnp.int32)[:, None, None],
-                 jnp.maximum(tri, 0)]
-    F = jnp.zeros((face_cap, 3), jnp.int32).at[fdest.reshape(-1)].set(
-        edge_ids.reshape(-1, 3), mode="drop")
-    return V0, n0, V1, n1, V2, n2, F, nf
+    Fc = _emit_face_cols(g0, g1, g2, ax, ay, az, cell_mask, cell_tbase,
+                         live, face_cap)
+    return V0, n0, V1, n1, V2, n2, tuple(Fc), nf
 
 
 def marching_cubes_device_slabbed(vol, origin, spacing: float,
@@ -354,10 +367,14 @@ def marching_cubes_device_slabbed(vol, origin, spacing: float,
         n0, n1, n2, nf = int(n0), int(n1), int(n2), int(nf)
         assert (n0, n1, n2, nf) == tuple(rows[s]), (s, (n0, n1, n2, nf),
                                                     rows[s])
-        V[base0[s]:base0[s] + n0] = np.asarray(V0[:n0])
-        V[base1[s]:base1[s] + n1] = np.asarray(V1[:n1])
-        V[base2[s]:base2[s] + n2] = np.asarray(V2[:n2])
-        Fs.append(np.asarray(F[:nf], np.int64))
+        V[base0[s]:base0[s] + n0] = np.stack(
+            [np.asarray(c[:n0]) for c in V0], axis=1)
+        V[base1[s]:base1[s] + n1] = np.stack(
+            [np.asarray(c[:n1]) for c in V1], axis=1)
+        V[base2[s]:base2[s] + n2] = np.stack(
+            [np.asarray(c[:n2]) for c in V2], axis=1)
+        Fs.append(np.stack([np.asarray(c[:nf], np.int64) for c in F],
+                           axis=1))
     Fh = (np.concatenate(Fs, axis=0) if Fs
           else np.zeros((0, 3), np.int64))
     Vh = (V * spacing + np.asarray(origin, np.float64)).astype(np.float32)
@@ -385,7 +402,7 @@ def marching_cubes_device(vol, origin, spacing: float, thresh: float = 0.0
     else:
         raise RuntimeError(f"marching_cubes_device: caps exhausted "
                            f"(nv={nv}, nf={nf})")
-    Vh = np.asarray(V[:nv], np.float64)
-    Fh = np.asarray(F[:nf], np.int64)
+    Vh = np.stack([np.asarray(c[:nv], np.float64) for c in V], axis=1)
+    Fh = np.stack([np.asarray(c[:nf], np.int64) for c in F], axis=1)
     Vh = (Vh * spacing + np.asarray(origin, np.float64)).astype(np.float32)
     return Vh, Fh
