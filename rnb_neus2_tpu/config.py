@@ -167,6 +167,15 @@ class OptimizerConfig:
     decay_start: int = 20000
     decay_interval: int = 10000
     decay_base: float = 0.33
+    # tcnn-exact sparse Adam for non-matrix params (hash table, variance):
+    # a slot whose gradient is EXACTLY zero this step is skipped entirely —
+    # no moment decay, no per-param debias-step increment, no weight update
+    # (adam.h:112-118 early return; per-param `param_steps` debias
+    # adam.h:188-190). Dense Adam instead applies a decaying momentum tail
+    # to every previously-kicked hash slot (~10x the initial step summed
+    # over the tail at β .9/.99) that the reference's frozen slots never
+    # see. False = dense optax Adam (rounds 1-2 behavior).
+    sparse_adam: bool = True
 
 
 @dataclasses.dataclass(frozen=True)

@@ -69,8 +69,26 @@ def restore_trainer(trainer, snap: Dict[str, Any]) -> None:
 
     trainer.params = serialization.from_state_dict(trainer.params,
                                                    snap["params"])
-    adam = serialization.from_state_dict(trainer.opt_state.adam,
-                                         snap["adam_state"])
+    adam_sd = snap["adam_state"]
+    tmpl_adam = serialization.to_state_dict(trainer.opt_state.adam)
+    if "1" in adam_sd and "1" in tmpl_adam:
+        has, wants = "steps" in adam_sd["1"], "steps" in tmpl_adam["1"]
+        if wants and not has:
+            # pre-sparse-Adam snapshot (rounds 1-2 dense optax state):
+            # synthesize per-param debias counters at the dense global
+            # count — the closest dense-equivalent restore point
+            cnt = int(np.asarray(adam_sd["1"]["count"]))
+            adam_sd = dict(adam_sd)
+            adam_sd["1"] = dict(adam_sd["1"])
+            adam_sd["1"]["steps"] = jax.tree_util.tree_map(
+                lambda m: np.full(np.asarray(m).shape, cnt, np.int32),
+                adam_sd["1"]["mu"])
+        elif has and not wants:
+            # sparse-Adam snapshot loaded into a dense optimizer
+            adam_sd = dict(adam_sd)
+            adam_sd["1"] = {k: v for k, v in adam_sd["1"].items()
+                            if k != "steps"}
+    adam = serialization.from_state_dict(trainer.opt_state.adam, adam_sd)
     ema = serialization.from_state_dict(trainer.opt_state.ema_params,
                                         snap["ema_params"])
     from .optimizer import OptState

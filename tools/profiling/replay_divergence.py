@@ -45,6 +45,9 @@ def main():
     ap.add_argument("--no-guard", action="store_true",
                     help="disable the divergence guard so raw (in)stability "
                          "is observable")
+    ap.add_argument("--dense-adam", action="store_true",
+                    help="control arm: rounds-1/2 dense optax Adam instead "
+                         "of the tcnn-exact sparse Adam default")
     args = ap.parse_args()
 
     import dataclasses
@@ -86,6 +89,9 @@ def main():
     if args.lr is not None:
         cfg = dataclasses.replace(cfg, optimizer=dataclasses.replace(
             cfg.optimizer, learning_rate=args.lr))
+    if args.dense_adam:
+        cfg = dataclasses.replace(cfg, optimizer=dataclasses.replace(
+            cfg.optimizer, sparse_adam=False))
     tr = Trainer(ds, cfg)
     snap.restore_trainer(tr, snap.load_snapshot(args.snapshot))
     if args.freeze_occ:
