@@ -328,6 +328,34 @@ class TrainConfig:
     #   "raise": the round-2 behavior — RuntimeError.
     guard_terminal: str = "degrade"
     guard_max_trips: int = 24
+    # Spike/runaway discrimination (round-3 probe evidence,
+    # runs/PROBE_fp16emu.log): the unstable window ~step 1400-1800 throws
+    # TRANSIENT single-batch spikes of 1-20× absolute that training
+    # recovers from on its own, while a true runaway doubles every ~3
+    # steps — by the next metrics sync (16-32 steps) it is >1000× and
+    # unmistakable. Tripping on every spike rollback-thrashed the window
+    # (30+ rollbacks to the same anchor). So: a loss in the SOFT band
+    # (> soft_ratio × EMA and > soft_abs) defers — the window is not
+    # checkpointed and the EMAs are not fed, but training continues; only
+    # a second consecutive soft sync, or a HARD hit
+    # (> hard_ratio × EMA and > hard_abs, or non-finite), rolls back.
+    guard_soft_ratio: float = 10.0
+    guard_soft_abs: float = 1.0
+    guard_hard_ratio: float = 100.0
+    guard_hard_abs: float = 20.0
+    # Gradual-blow-up backstop: a blow-up that grows slower than the soft
+    # ratio per sync window poisons the EMA itself and slips through every
+    # relative check (measured: runs/RUN_r2c_composite10k.log trained
+    # through to loss 1574 that way). Trip when the loss EMA exceeds
+    # guard_ema_ceiling × the best (lowest) EMA the run has ever reached.
+    guard_ema_ceiling: float = 50.0
+    # Degraded-mode re-arm: the instability window is transient (probe:
+    # healthy from ~step 1800 on), so a permanent no-rgbplus finish gives
+    # away supervision for no reason. After guard_rearm_steps of genuine
+    # progress in degraded mode, re-enable the RGB+ channel (at most
+    # guard_max_rearms times per run; a re-trip just degrades again).
+    guard_rearm_steps: int = 1024
+    guard_max_rearms: int = 2
 
 
 @dataclasses.dataclass(frozen=True)

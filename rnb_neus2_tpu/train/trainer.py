@@ -86,10 +86,12 @@ class Trainer:
         # Divergence guard (no reference analog — the CUDA testbed just
         # trains on; see DESIGN.md "Full-scale divergence"): keep a
         # device-side copy of the last healthy state; when a metrics sync
-        # sees the color loss explode (>100× its EMA and >10 absolute, or
-        # non-finite), roll back and halve the update scale, restoring it
-        # ×2 after 8 clean windows. lr_scale multiplies the FINAL Adam
-        # update inside the jitted step (a traced scalar — no recompile).
+        # sees the color loss explode (two consecutive soft hits, one hard
+        # hit, non-finite, or the EMA creeping past its ceiling — see
+        # TrainConfig guard_* knobs), roll back and halve the update
+        # scale, restoring it ×2 after 8 clean windows. lr_scale
+        # multiplies the FINAL Adam update inside the jitted step (a
+        # traced scalar — no recompile).
         self.lr_scale = 1.0
         self._good: Optional[dict] = None
         self._anchor: Optional[dict] = None
@@ -107,6 +109,15 @@ class Trainer:
         # a healthy window that merely re-reaches old ground (the livelock
         # signature) must not
         self._guard_best_step = -1
+        # one soft (spike-band) sync is forgiven — see guard_soft_* in
+        # TrainConfig; True means the PREVIOUS sync was already soft
+        self._guard_suspect = False
+        # lowest loss EMA the run has ever reached (gradual-blow-up
+        # backstop); monotone, deliberately NOT restored on rollback
+        self._guard_ema_floor: Optional[float] = None
+        # degraded-mode re-arm bookkeeping
+        self._guard_degraded_at: Optional[int] = None
+        self._guard_rearms_used = 0
 
     # ------------------------------------------------------------------
     # jitted pieces
@@ -386,6 +397,7 @@ class Trainer:
         self.lr_scale = max(self.lr_scale * 0.5, 1.0 / 32.0)
         self._guard_windows = 0
         self._guard_rollbacks += 1
+        self._guard_suspect = False
         import logging
         logging.getLogger("rnb_neus2_tpu.train").warning(
             "divergence guard: loss %.3g at step ~%d; rolled back to "
@@ -401,11 +413,12 @@ class Trainer:
 
     def _enter_degraded_mode(self) -> None:
         """Guard terminal mode "degrade": the run must FINISH. Restore the
-        deepest available anchor, permanently disable the RGB+ 4th channel
-        (the only lever every divergence replay shows holds —
+        deepest available anchor and disable the RGB+ 4th channel (the
+        only lever every divergence replay shows holds —
         runs/REPLAY_k0_norgbplus.log; a supported reference mode,
-        main.cu --no-rgbplus) and pin the update scale at its floor.
-        One-time recompile (flags are static in the jit)."""
+        main.cu --no-rgbplus). Re-armed after guard_rearm_steps of clean
+        progress (_maybe_rearm_rgbplus) — the instability window is
+        transient. Recompile on flip (flags are static in the jit)."""
         import dataclasses
         import logging
         if not self.cfg.flags.apply_rgbplus:
@@ -422,6 +435,7 @@ class Trainer:
             self.cfg, flags=dataclasses.replace(
                 self.cfg.flags, apply_rgbplus=False))
         self._compiled.clear()
+        self._guard_degraded_at = self.step
         self._guard_rollbacks = 0
         self._guard_windows = 0
         # with the rgbplus engine removed, full-lr training is inside the
@@ -431,25 +445,78 @@ class Trainer:
         self.lr_scale = 1.0
         logging.getLogger("rnb_neus2_tpu.train").error(
             "divergence guard: trip cap reached — entering DEGRADED mode "
-            "at step %d: RGB+ 4th channel off for the remainder, update "
-            "scale restored to 1. The mesh will come from a no-rgbplus "
-            "finish.", self.step)
+            "at step %d: RGB+ 4th channel off (re-arm after %d clean "
+            "steps, %d re-arms left), update scale restored to 1.",
+            self.step, self.cfg.train.guard_rearm_steps,
+            self.cfg.train.guard_max_rearms - self._guard_rearms_used)
+
+    def _maybe_rearm_rgbplus(self) -> None:
+        """The instability window is transient (probe: spikes stop past
+        ~step 1800), so a guard-degraded run re-enables the RGB+ channel
+        after guard_rearm_steps of genuine progress instead of finishing
+        the remaining thousands of steps under-supervised. Bounded by
+        guard_max_rearms; a re-trip just degrades again."""
+        if self._guard_degraded_at is None \
+                or self.cfg.flags.apply_rgbplus \
+                or self._guard_rearms_used >= self.cfg.train.guard_max_rearms \
+                or self.step < (self._guard_degraded_at
+                                + self.cfg.train.guard_rearm_steps):
+            return
+        import dataclasses
+        import logging
+        self.cfg = dataclasses.replace(
+            self.cfg, flags=dataclasses.replace(
+                self.cfg.flags, apply_rgbplus=True))
+        self._compiled.clear()
+        self._guard_rearms_used += 1
+        self._guard_degraded_at = None
+        logging.getLogger("rnb_neus2_tpu.train").warning(
+            "divergence guard: %d clean steps in degraded mode — RGB+ "
+            "4th channel re-armed at step %d (re-arm %d/%d)",
+            self.cfg.train.guard_rearm_steps, self.step,
+            self._guard_rearms_used, self.cfg.train.guard_max_rearms)
 
     def _guard_check(self, loss_color: float) -> bool:
         """True = healthy. Call with the freshly synced loss BEFORE the
-        EMAs are updated with it."""
+        EMAs are updated with it.
+
+        Three-band policy (round-3 probe evidence, PROBE_fp16emu.log —
+        the unstable window throws recoverable single-batch spikes the
+        old single-threshold guard rollback-thrashed on):
+        - HARD (non-finite, > max(hard_ratio·EMA, hard_abs), or the EMA
+          itself past ceiling × its best-ever floor): roll back now.
+        - SOFT (> max(soft_ratio·EMA, soft_abs)): forgive once — don't
+          checkpoint, don't feed the EMAs, keep training; a second
+          consecutive soft sync rolls back (a true runaway doubles every
+          ~3 steps, so by the next sync it is hard anyway).
+        - otherwise healthy."""
         if not self.cfg.train.divergence_guard:
             return True
+        t = self.cfg.train
         ref = self.loss_ema.value
-        bad = not math.isfinite(loss_color) or (
-            math.isfinite(ref) and ref > 0.0
-            and loss_color > max(10.0 * ref, 1.0))
-        if bad:
+        have_ref = math.isfinite(ref) and ref > 0.0
+        hard = not math.isfinite(loss_color) or (
+            have_ref
+            and loss_color > max(t.guard_hard_ratio * ref, t.guard_hard_abs))
+        if not hard and self._guard_ema_floor is not None and have_ref \
+                and ref > t.guard_ema_ceiling * self._guard_ema_floor:
+            # gradual blow-up: each window passed the relative checks but
+            # the EMA itself has crept far past the run's best level
+            hard = True
+        soft = not hard and have_ref and (
+            loss_color > max(t.guard_soft_ratio * ref, t.guard_soft_abs))
+        if soft and not self._guard_suspect:
+            self._guard_suspect = True
+            return False
+        if hard or soft:
+            self._guard_suspect = False
             # before the first healthy window there is nothing to restore;
             # still refuse to checkpoint / feed the EMAs a bad loss
             if self._good is not None:
                 self._rollback(loss_color)
             return False
+        self._guard_suspect = False
+        self._maybe_rearm_rgbplus()
         # NOTE: the trip count is NOT reset here — only _checkpoint_good
         # resets it, and only on progress past _guard_best_step. A healthy
         # window that merely re-treads rolled-back ground (fail/heal/fail
@@ -485,6 +552,13 @@ class Trainer:
         self.mask_ema.update(out["loss_mask"])
         self.loss_graph.update(out["loss_color"])
         if self.cfg.train.divergence_guard:
+            # best-ever EMA level (gradual-blow-up backstop); monotone by
+            # design — surviving a rollback is the point
+            v = self.loss_ema.value
+            if math.isfinite(v) and v > 0.0 and (
+                    self._guard_ema_floor is None
+                    or v < self._guard_ema_floor):
+                self._guard_ema_floor = v
             self._checkpoint_good()
         return out
 

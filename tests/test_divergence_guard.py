@@ -59,6 +59,10 @@ def reset(tr):
     tr._guard_rollbacks = 0
     tr._guard_total_rollbacks = 0
     tr._guard_best_step = -1
+    tr._guard_suspect = False
+    tr._guard_ema_floor = None
+    tr._guard_degraded_at = None
+    tr._guard_rearms_used = 0
     tr.loss_ema.value = 0.0
     tr.loss_ema._initialized = False
     tr.step = 0
@@ -87,7 +91,7 @@ def test_spike_rolls_back_and_halves_scale(trainer):
         feed(tr, 0.05)
     good_step = tr.step
     key_before = np.asarray(tr.key).copy()
-    out = feed(tr, 5.0)   # >10× EMA and >1 absolute
+    out = feed(tr, 1e6)   # hard band: >100× EMA and >20 absolute
     assert out.get("rolled_back") is True
     assert tr.step == good_step
     assert tr.lr_scale == 0.5
@@ -116,10 +120,10 @@ def test_repeat_failure_escalates_to_anchor(trainer):
     feed(tr, 0.05, step_advance=70)
     recent_step = tr.step
     # tier 1: rollback to the freshest good
-    feed(tr, 5.0)
+    feed(tr, 1e6)
     assert tr.step == recent_step
     # tier 2 (no healthy window in between): escalate to the anchor
-    feed(tr, 5.0)
+    feed(tr, 1e6)
     assert tr.step == anchor_step
     assert tr.lr_scale == 0.25
 
@@ -129,7 +133,7 @@ def test_scale_restores_after_clean_windows(trainer):
     reset(tr)
     for _ in range(3):
         feed(tr, 0.05)
-    feed(tr, 5.0)
+    feed(tr, 1e6)
     assert tr.lr_scale == 0.5
     for _ in range(8):
         feed(tr, 0.05)
@@ -175,7 +179,7 @@ def test_rollback_cap_raises_in_raise_mode(trainer):
         feed(tr, 0.05)
         with pytest.raises(RuntimeError, match="divergence guard"):
             for _ in range(30):
-                feed(tr, 5.0)
+                feed(tr, 1e6)
     finally:
         tr.cfg = orig
 
@@ -189,7 +193,7 @@ def test_rollback_cap_degrades_then_finishes(trainer):
     reset(tr)
     feed(tr, 0.05)
     for _ in range(tr.cfg.train.guard_max_trips + 1):
-        feed(tr, 5.0)
+        feed(tr, 1e6)
     # degraded: rgbplus off, counters re-armed, full update scale
     assert not tr.cfg.flags.apply_rgbplus
     assert tr.lr_scale == 1.0
@@ -200,7 +204,7 @@ def test_rollback_cap_degrades_then_finishes(trainer):
     # a second cap with no lever left must terminate
     with pytest.raises(RuntimeError, match="degraded"):
         for _ in range(tr.cfg.train.guard_max_trips + 2):
-            feed(tr, 5.0)
+            feed(tr, 1e6)
 
 
 def test_oscillation_livelock_terminates(trainer):
@@ -218,7 +222,7 @@ def test_oscillation_livelock_terminates(trainer):
     keys = []
     with pytest.raises(RuntimeError, match="divergence guard"):
         for _ in range(200):
-            feed(tr, 5.0, step_advance=32)  # trip at best+32, roll back
+            feed(tr, 1e6, step_advance=32)  # trip at best+32, roll back
             keys.append(np.asarray(tr.key).copy())
             feed(tr, 0.05, step_advance=0)  # heal WITHOUT new progress
     # two caps: one entering degraded mode, one terminating it
@@ -236,12 +240,12 @@ def test_progress_rearms_tier1(trainer):
     reset(tr)
     for _ in range(3):
         feed(tr, 0.05, step_advance=70)
-    feed(tr, 5.0)                      # tier-1 trip
+    feed(tr, 1e6)                      # tier-1 trip
     assert tr._guard_rollbacks == 1
     feed(tr, 0.05, step_advance=70)    # beyond best → re-armed
     assert tr._guard_rollbacks == 0
     recent = tr.step
-    feed(tr, 5.0)
+    feed(tr, 1e6)
     assert tr.step == recent           # tier 1 again
 
 
@@ -260,6 +264,84 @@ def test_deep_anchor_escalation(trainer):
     assert tr._deep_anchor is not None
     assert tr._deep_anchor["step"] == deep_step
     for _ in range(5):
-        feed(tr, 5.0)
+        feed(tr, 1e6)
     assert tr.step == deep_step
     assert tr._guard_rollbacks >= 5
+
+
+def test_soft_spike_forgiven_once(trainer):
+    """Round-3 probe evidence (runs/PROBE_fp16emu.log): the unstable
+    window throws transient single-batch spikes (1-20 absolute) that
+    training recovers from on its own; tripping on each one
+    rollback-thrashed the window. A single soft-band sync is therefore
+    forgiven — no rollback, no checkpoint, EMAs untouched — and only a
+    second consecutive soft sync rolls back."""
+    tr = trainer
+    reset(tr)
+    for _ in range(3):
+        feed(tr, 0.05)
+    good_step = tr.step
+    out = feed(tr, 5.0)              # soft: >10×EMA, >1 abs, <20 abs
+    assert out.get("rolled_back") is True   # window not consumed…
+    assert tr.lr_scale == 1.0               # …but no rollback either
+    assert tr.step == good_step + 1
+    assert tr.loss_ema.value < 0.1          # EMA unpoisoned
+    out = feed(tr, 0.05)             # recovered → forgiven
+    assert "rolled_back" not in out
+    assert tr.lr_scale == 1.0
+    # two soft syncs in a row = treated as a runaway
+    feed(tr, 5.0)
+    out = feed(tr, 5.0)
+    assert out.get("rolled_back") is True
+    assert tr.lr_scale == 0.5
+
+
+def test_ema_ceiling_catches_gradual_blowup(trainer):
+    """A blow-up growing slower than the soft ratio per sync poisons the
+    EMA itself and slips every relative check (RUN_r2c trained through to
+    loss 1574 that way). The guard trips once the EMA exceeds
+    guard_ema_ceiling × its best-ever value."""
+    tr = trainer
+    reset(tr)
+    loss = 0.05
+    tripped = False
+    for _ in range(400):
+        out = feed(tr, loss)
+        if out.get("rolled_back"):
+            tripped = True
+            break
+        loss *= 1.2   # +20% per sync: always < 10× the trailing EMA
+    assert tripped, "gradual blow-up must trip the EMA ceiling"
+    assert tr.loss_ema.value < 60.0 * tr._guard_ema_floor
+
+
+def test_degraded_mode_rearms_after_clean_progress(trainer):
+    """The instability window is transient, so degraded (no-rgbplus) mode
+    re-enables the RGB+ channel after guard_rearm_steps of clean
+    progress instead of finishing thousands of steps under-supervised."""
+    tr = trainer
+    reset(tr)
+    feed(tr, 0.05)
+    for _ in range(tr.cfg.train.guard_max_trips + 1):
+        feed(tr, 1e6)
+    assert not tr.cfg.flags.apply_rgbplus
+    assert tr._guard_degraded_at is not None
+    # clean progress but short of the re-arm horizon: still degraded
+    feed(tr, 0.05, step_advance=tr.cfg.train.guard_rearm_steps // 2)
+    assert not tr.cfg.flags.apply_rgbplus
+    # past the horizon: re-armed
+    feed(tr, 0.05, step_advance=tr.cfg.train.guard_rearm_steps)
+    assert tr.cfg.flags.apply_rgbplus
+    assert tr._guard_rearms_used == 1
+    assert tr._guard_degraded_at is None
+    # a re-trip degrades again (no raise — rgbplus was back on)
+    for _ in range(tr.cfg.train.guard_max_trips + 1):
+        feed(tr, 1e6)
+    assert not tr.cfg.flags.apply_rgbplus
+    # second re-arm allowed, third is not
+    feed(tr, 0.05, step_advance=2 * tr.cfg.train.guard_rearm_steps)
+    assert tr.cfg.flags.apply_rgbplus and tr._guard_rearms_used == 2
+    for _ in range(tr.cfg.train.guard_max_trips + 1):
+        feed(tr, 1e6)
+    feed(tr, 0.05, step_advance=2 * tr.cfg.train.guard_rearm_steps)
+    assert not tr.cfg.flags.apply_rgbplus, "re-arms are bounded"
