@@ -356,6 +356,14 @@ class TrainConfig:
     # guard_max_rearms times per run; a re-trip just degrades again).
     guard_rearm_steps: int = 1024
     guard_max_rearms: int = 2
+    # Thrash detector (RUN_r3: 31 trips with ~90 steps of net progress
+    # in 11 minutes — each micro-advance past the best step re-armed the
+    # near-consecutive cap, so the terminal mode never fired and the run
+    # slow-livelocked through the window). If the last guard_max_trips
+    # trips collectively advanced the best healthy step by less than
+    # guard_thrash_span steps, the window is unpassable at full
+    # supervision — go terminal (degrade/raise) immediately.
+    guard_thrash_span: int = 512
 
 
 @dataclasses.dataclass(frozen=True)

@@ -118,6 +118,9 @@ class Trainer:
         # degraded-mode re-arm bookkeeping
         self._guard_degraded_at: Optional[int] = None
         self._guard_rearms_used = 0
+        # best-ever step recorded at each trip — the thrash detector
+        # (guard_thrash_span) reads net progress across the last N trips
+        self._guard_trip_best_steps: list = []
 
     # ------------------------------------------------------------------
     # jitted pieces
@@ -403,12 +406,26 @@ class Trainer:
             "divergence guard: loss %.3g at step ~%d; rolled back to "
             "step %d, update scale now %.4g (trip %d)", bad_loss, bad_step,
             g["step"], self.lr_scale, self._guard_total_rollbacks)
-        if self._guard_rollbacks > self.cfg.train.guard_max_trips:
+        # terminal triggers: (a) near-consecutive trips with NO progress
+        # past the best step; (b) thrash — the last guard_max_trips trips
+        # collectively advanced the best step by < guard_thrash_span
+        # (RUN_r3: micro-progress of ~30 steps/cycle re-armed (a) forever
+        # while the run slow-livelocked through the unstable window)
+        cap = self.cfg.train.guard_max_trips
+        self._guard_trip_best_steps.append(self._guard_best_step)
+        hist = self._guard_trip_best_steps
+        thrash = len(hist) > cap and (
+            self._guard_best_step - hist[-cap - 1]
+            < self.cfg.train.guard_thrash_span)
+        if self._guard_rollbacks > cap or thrash:
             if self.cfg.train.guard_terminal == "raise":
                 raise RuntimeError(
-                    f"divergence guard: {self.cfg.train.guard_max_trips} "
-                    "near-consecutive rollbacks — training is unstable "
-                    "even at the minimum update scale")
+                    f"divergence guard: {cap} "
+                    + ("rollbacks with net progress below "
+                       f"{self.cfg.train.guard_thrash_span} steps"
+                       if thrash else "near-consecutive rollbacks")
+                    + " — training is unstable even at the minimum "
+                    "update scale")
             self._enter_degraded_mode()
 
     def _enter_degraded_mode(self) -> None:
@@ -438,6 +455,7 @@ class Trainer:
         self._guard_degraded_at = self.step
         self._guard_rollbacks = 0
         self._guard_windows = 0
+        self._guard_trip_best_steps = []
         # with the rgbplus engine removed, full-lr training is inside the
         # stability basin on every replay — restore the scale so the
         # remaining steps learn at production speed (the guard stays
@@ -470,6 +488,7 @@ class Trainer:
         self._compiled.clear()
         self._guard_rearms_used += 1
         self._guard_degraded_at = None
+        self._guard_trip_best_steps = []
         logging.getLogger("rnb_neus2_tpu.train").warning(
             "divergence guard: %d clean steps in degraded mode — RGB+ "
             "4th channel re-armed at step %d (re-arm %d/%d)",

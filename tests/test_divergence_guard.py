@@ -63,6 +63,7 @@ def reset(tr):
     tr._guard_ema_floor = None
     tr._guard_degraded_at = None
     tr._guard_rearms_used = 0
+    tr._guard_trip_best_steps = []
     tr.loss_ema.value = 0.0
     tr.loss_ema._initialized = False
     tr.step = 0
@@ -345,3 +346,38 @@ def test_degraded_mode_rearms_after_clean_progress(trainer):
         feed(tr, 1e6)
     feed(tr, 0.05, step_advance=2 * tr.cfg.train.guard_rearm_steps)
     assert not tr.cfg.flags.apply_rgbplus, "re-arms are bounded"
+
+
+def test_thrash_detector_goes_terminal(trainer):
+    """RUN_r3 slow-livelock regression: micro-progress past the best step
+    re-armed the near-consecutive cap every cycle, so 31 trips with ~90
+    steps of net progress never fired the terminal mode. If the last
+    guard_max_trips trips advance the best step by < guard_thrash_span,
+    the guard must go terminal (degrade) even though each cycle made
+    nominal progress."""
+    tr = trainer
+    reset(tr)
+    feed(tr, 0.05)
+    cap = tr.cfg.train.guard_max_trips
+    for _ in range(cap + 2):
+        # a few steps of genuine progress, then a hard trip — the
+        # oscillation signature; progress/cycle far below thrash_span/cap
+        feed(tr, 0.05, step_advance=5)
+        feed(tr, 1e6)
+        if not tr.cfg.flags.apply_rgbplus:
+            break
+    assert not tr.cfg.flags.apply_rgbplus, \
+        "thrash must trigger degraded mode despite per-cycle progress"
+
+
+def test_slow_but_real_progress_never_thrash_trips(trainer):
+    """Counter-case: trips spread over MORE than guard_thrash_span of
+    net progress are isolated spikes, not thrash — no terminal."""
+    tr = trainer
+    reset(tr)
+    feed(tr, 0.05)
+    span = tr.cfg.train.guard_thrash_span
+    for _ in range(tr.cfg.train.guard_max_trips + 2):
+        feed(tr, 0.05, step_advance=span // 4)
+        feed(tr, 1e6)
+    assert tr.cfg.flags.apply_rgbplus, "well-spread trips must not degrade"
