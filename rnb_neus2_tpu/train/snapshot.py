@@ -15,6 +15,7 @@ from __future__ import annotations
 
 import dataclasses
 import json
+import math
 from typing import Any, Dict
 
 import jax
@@ -47,6 +48,13 @@ def save_snapshot(path: str, trainer) -> None:
         "density_grid": np.asarray(occ.density).astype(np.float16),
         "density_ema_step": np.asarray(occ.ema_step),
         "rng_key": np.asarray(trainer.key),
+        # loss EMA rides along so a resumed run's divergence guard has a
+        # warm reference immediately (a cold EMA accepted a blown first
+        # sync once — runs/RUN_r3: EMA poisoned at 481876, every relative
+        # check blind for the rest of the run)
+        "loss_ema": np.float32(trainer.loss_ema.value
+                               if trainer.loss_ema._initialized
+                               else np.nan),
     }
     with open(path, "wb") as f:
         f.write(serialization.msgpack_serialize(payload))
@@ -104,3 +112,8 @@ def restore_trainer(trainer, snap: Dict[str, Any]) -> None:
         ema_step=jnp.asarray(np.asarray(snap["density_ema_step"]),
                              jnp.int32))
     trainer.key = jnp.asarray(np.asarray(snap["rng_key"]), jnp.uint32)
+    # warm the divergence guard's loss-EMA reference (absent in pre-r3
+    # snapshots; NaN sentinel = the saved run had no initialized EMA)
+    ema_val = float(np.asarray(snap.get("loss_ema", np.nan)))
+    if math.isfinite(ema_val):
+        trainer.loss_ema.set(ema_val)

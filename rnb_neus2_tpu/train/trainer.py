@@ -514,16 +514,23 @@ class Trainer:
         t = self.cfg.train
         ref = self.loss_ema.value
         have_ref = math.isfinite(ref) and ref > 0.0
+        # cold-EMA hole (live RUN_r3): without a reference the old guard
+        # accepted ANY finite loss and fed it to the EMA — a blown first
+        # sync after resume poisoned the EMA at 481876 and blinded every
+        # relative check. With no reference, fall back to the absolute
+        # bands alone (a healthy normalized loss is ~0.05; > hard_abs is
+        # never healthy).
         hard = not math.isfinite(loss_color) or (
-            have_ref
-            and loss_color > max(t.guard_hard_ratio * ref, t.guard_hard_abs))
+            loss_color > max(t.guard_hard_ratio * ref, t.guard_hard_abs)
+            if have_ref else loss_color > t.guard_hard_abs)
         if not hard and self._guard_ema_floor is not None and have_ref \
                 and ref > t.guard_ema_ceiling * self._guard_ema_floor:
             # gradual blow-up: each window passed the relative checks but
             # the EMA itself has crept far past the run's best level
             hard = True
-        soft = not hard and have_ref and (
-            loss_color > max(t.guard_soft_ratio * ref, t.guard_soft_abs))
+        soft = not hard and (
+            loss_color > max(t.guard_soft_ratio * ref, t.guard_soft_abs)
+            if have_ref else loss_color > t.guard_soft_abs)
         if soft and not self._guard_suspect:
             self._guard_suspect = True
             return False

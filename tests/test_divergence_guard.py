@@ -381,3 +381,21 @@ def test_slow_but_real_progress_never_thrash_trips(trainer):
         feed(tr, 0.05, step_advance=span // 4)
         feed(tr, 1e6)
     assert tr.cfg.flags.apply_rgbplus, "well-spread trips must not degrade"
+
+
+def test_cold_ema_rejects_blown_first_sync(trainer):
+    """Cold-EMA hole (live RUN_r3): a resumed run's first metrics sync
+    arrived already blown (481876) and, with no EMA reference, the old
+    guard accepted and EMA-fed it — blinding every relative check for
+    the rest of the run. With no reference the absolute bands apply:
+    a large finite loss must not be consumed."""
+    tr = trainer
+    reset(tr)
+    out = feed(tr, 481876.0)          # first sync, EMA uninitialized
+    assert out.get("rolled_back") is True
+    assert not tr.loss_ema._initialized
+    assert tr._good is None
+    # a sane first sync afterwards starts the guard normally
+    out = feed(tr, 0.05)
+    assert "rolled_back" not in out
+    assert tr.loss_ema.value == pytest.approx(0.05)
