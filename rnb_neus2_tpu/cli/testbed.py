@@ -234,10 +234,15 @@ def run(args) -> int:
                 and trainer.step < args.maxiter:
             latest = os.path.join(out_dir, "snapshot_latest.msgpack")
             loss_now = trainer.loss_ema.value
-            if not (loss_now == loss_now and loss_now < 1e6):
-                # diverged/NaN state: never overwrite the last good
-                # rolling snapshot with it (a healthy resume point is
-                # worth more than a fresher broken one)
+            if not trainer.loss_ema._initialized or \
+                    not (loss_now == loss_now and loss_now < 1e6):
+                # diverged/NaN — or EMA never initialized, i.e. no
+                # healthy window consumed since (re)start (live RUN_r3: a
+                # resume that blew up pre-first-sync kept EMA at 0.0 and
+                # overwrote BOTH rolling generations with blown params).
+                # Never overwrite the last good rolling snapshot: a
+                # healthy resume point is worth more than a fresher
+                # broken one.
                 logger.error(
                     f"iteration={trainer.step}: loss={loss_now} is "
                     "divergent; skipping rolling snapshot")

@@ -117,3 +117,7 @@ def restore_trainer(trainer, snap: Dict[str, Any]) -> None:
     ema_val = float(np.asarray(snap.get("loss_ema", np.nan)))
     if math.isfinite(ema_val):
         trainer.loss_ema.set(ema_val)
+    # the restored state IS a healthy checkpoint — give the guard a
+    # rollback target before the first post-resume sync (a resume into
+    # the unstable window otherwise has nothing to restore)
+    trainer.seed_guard()

@@ -330,6 +330,17 @@ class Trainer:
     # divergence guard
     # ------------------------------------------------------------------
 
+    def seed_guard(self) -> None:
+        """Seed the divergence guard with the CURRENT state as the first
+        healthy checkpoint. Called after a snapshot resume: the restored
+        state is by definition a healthy resume point, and without a
+        seed a run that blows up before its first healthy metrics sync
+        has nothing to roll back to — it silently trains on the blown
+        state forever (live RUN_r3 attempt 3: 400+ steps of rejected
+        windows, EMAs frozen at 0, no log line)."""
+        if self.cfg.train.divergence_guard:
+            self._good = self._snapshot_state()
+
     def _snapshot_state(self) -> dict:
         copy = lambda t: jax.tree_util.tree_map(jnp.copy, t)
         return {
@@ -540,6 +551,13 @@ class Trainer:
             # still refuse to checkpoint / feed the EMAs a bad loss
             if self._good is not None:
                 self._rollback(loss_color)
+            else:
+                import logging
+                logging.getLogger("rnb_neus2_tpu.train").warning(
+                    "divergence guard: loss %.3g at step ~%d with NO "
+                    "healthy checkpoint to restore — window rejected, "
+                    "training continues on the current state", loss_color,
+                    self.step)
             return False
         self._guard_suspect = False
         self._maybe_rearm_rgbplus()
