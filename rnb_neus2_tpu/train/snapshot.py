@@ -55,6 +55,21 @@ def save_snapshot(path: str, trainer) -> None:
         "loss_ema": np.float32(trainer.loss_ema.value
                                if trainer.loss_ema._initialized
                                else np.nan),
+        # warm-up progress rides along so a restore reproduces the full
+        # meter state (utils.meters.Ema.updates)
+        "loss_ema_updates": np.int32(trainer.loss_ema.updates),
+        # guard degraded-mode state: a snapshot saved from a
+        # guard-degraded (no-rgbplus) trajectory carries albedo params
+        # that can sit outside the RGB+ channel's stability basin —
+        # resuming it with rgbplus ON detonated within 32 steps (RUN_r3
+        # attempt 2, loss 4e5). The resume must come back up degraded and
+        # let the guard re-arm on its own schedule. Distinct from a user
+        # --no-rgbplus config (that lives in config_json / CLI flags).
+        "guard_degraded": np.bool_(
+            getattr(trainer, "_guard_degraded_at", None) is not None
+            and not trainer.cfg.flags.apply_rgbplus),
+        "guard_rearms_used": np.int32(
+            getattr(trainer, "_guard_rearms_used", 0)),
     }
     with open(path, "wb") as f:
         f.write(serialization.msgpack_serialize(payload))
@@ -113,10 +128,27 @@ def restore_trainer(trainer, snap: Dict[str, Any]) -> None:
                              jnp.int32))
     trainer.key = jnp.asarray(np.asarray(snap["rng_key"]), jnp.uint32)
     # warm the divergence guard's loss-EMA reference (absent in pre-r3
-    # snapshots; NaN sentinel = the saved run had no initialized EMA)
+    # snapshots; NaN sentinel = the saved run had no initialized EMA).
+    # A persisted finite EMA from a pre-`loss_ema_updates` snapshot had
+    # trained long enough to reach a rolling snapshot — default its
+    # update count to a half-life's worth.
     ema_val = float(np.asarray(snap.get("loss_ema", np.nan)))
     if math.isfinite(ema_val):
-        trainer.loss_ema.set(ema_val)
+        updates = int(np.asarray(snap.get(
+            "loss_ema_updates", int(trainer.loss_ema.half_life))))
+        trainer.loss_ema.set(ema_val, updates=updates)
+    # guard-degraded trajectory: come back up with the RGB+ channel off
+    # (the saved albedo params can sit outside its stability basin —
+    # RUN_r3 attempt 2 detonated at resume) and the re-arm budget intact
+    if bool(np.asarray(snap.get("guard_degraded", False))) \
+            and trainer.cfg.flags.apply_rgbplus:
+        trainer.cfg = dataclasses.replace(
+            trainer.cfg, flags=dataclasses.replace(
+                trainer.cfg.flags, apply_rgbplus=False))
+        trainer._compiled.clear()
+        trainer._guard_degraded_at = trainer.step
+        trainer._guard_rearms_used = int(np.asarray(
+            snap.get("guard_rearms_used", 0)))
     # the restored state IS a healthy checkpoint — give the guard a
     # rollback target before the first post-resume sync (a resume into
     # the unstable window otherwise has nothing to restore)

@@ -118,6 +118,13 @@ class Trainer:
         # degraded-mode re-arm bookkeeping
         self._guard_degraded_at: Optional[int] = None
         self._guard_rearms_used = 0
+        # step at which the RGB+ channel was last re-armed: a trip soon
+        # after a re-arm means the re-arm itself detonated (degraded-mode
+        # training leaves the predicted albedo unconstrained, so it can
+        # drift toward the √(3−Σa²) singular manifold — RUN_r3: re-arm at
+        # 2697, loss 7.7e5 by 2736). Re-degrade immediately instead of
+        # burning the whole trip budget on an unwinnable window.
+        self._guard_rearmed_at: Optional[int] = None
         # best-ever step recorded at each trip — the thrash detector
         # (guard_thrash_span) reads net progress across the last N trips
         self._guard_trip_best_steps: list = []
@@ -349,7 +356,14 @@ class Trainer:
             "key": jnp.copy(self.key), "step": self.step,
             "n_rays": self.n_rays, "emap_counter": self._emap_counter,
             "emap_interval": self._emap_interval,
-            "loss_ema": self.loss_ema.value,
+            # full EMA state, not just the value: restoring value-only
+            # re-initialized an UNWARM EMA at 0.0 (set() marks it
+            # initialized), so post-rollback it warmed up from zero and
+            # the warm-up values poisoned the guard's best-ever floor
+            # (RUN_r3 trips 62-81: ceiling ~0.03, every honest sync
+            # tripped)
+            "loss_ema": (self.loss_ema.value, self.loss_ema._initialized,
+                         self.loss_ema.updates),
         }
 
     def _checkpoint_good(self) -> None:
@@ -386,7 +400,11 @@ class Trainer:
         self.n_rays = g["n_rays"]
         self._emap_counter = g["emap_counter"]
         self._emap_interval = g["emap_interval"]
-        self.loss_ema.set(g["loss_ema"])
+        value, initialized, updates = g["loss_ema"]
+        if initialized:
+            self.loss_ema.set(value, updates=updates)
+        else:
+            self.loss_ema.reset()
 
     def _rollback(self, bad_loss: float) -> None:
         bad_step = self.step
@@ -417,6 +435,16 @@ class Trainer:
             "divergence guard: loss %.3g at step ~%d; rolled back to "
             "step %d, update scale now %.4g (trip %d)", bad_loss, bad_step,
             g["step"], self.lr_scale, self._guard_total_rollbacks)
+        # re-arm detonation: a trip within 256 steps of an rgbplus re-arm
+        # means the degraded-phase albedo drift put the state outside the
+        # re-armed channel's stability basin — re-degrade NOW from the
+        # state this rollback just restored (pre-detonation, still
+        # rgbplus-clean) rather than thrashing through the trip budget
+        if self._guard_rearmed_at is not None \
+                and self.cfg.flags.apply_rgbplus \
+                and bad_step - self._guard_rearmed_at <= 256:
+            self._enter_degraded_mode(restore=False)
+            return
         # terminal triggers: (a) near-consecutive trips with NO progress
         # past the best step; (b) thrash — the last guard_max_trips trips
         # collectively advanced the best step by < guard_thrash_span
@@ -439,14 +467,18 @@ class Trainer:
                     "update scale")
             self._enter_degraded_mode()
 
-    def _enter_degraded_mode(self) -> None:
+    def _enter_degraded_mode(self, restore: bool = True) -> None:
         """Guard terminal mode "degrade": the run must FINISH. Restore the
         deepest available anchor and disable the RGB+ 4th channel (the
         only lever every divergence replay shows holds —
         runs/REPLAY_k0_norgbplus.log; a supported reference mode,
         main.cu --no-rgbplus). Re-armed after guard_rearm_steps of clean
         progress (_maybe_rearm_rgbplus) — the instability window is
-        transient. Recompile on flip (flags are static in the jit)."""
+        transient. Recompile on flip (flags are static in the jit).
+
+        restore=False: the caller (_rollback's re-arm-detonation path)
+        already restored a pre-detonation state; keep it rather than
+        falling back to the deeper anchor."""
         import dataclasses
         import logging
         if not self.cfg.flags.apply_rgbplus:
@@ -456,14 +488,16 @@ class Trainer:
                 "divergence guard: trip cap reached again in degraded "
                 "(no-rgbplus) mode — training is unstable with every "
                 "known lever applied")
-        g = self._deep_anchor or self._anchor or self._good
-        if g is not None:
-            self._restore(g)
+        if restore:
+            g = self._deep_anchor or self._anchor or self._good
+            if g is not None:
+                self._restore(g)
         self.cfg = dataclasses.replace(
             self.cfg, flags=dataclasses.replace(
                 self.cfg.flags, apply_rgbplus=False))
         self._compiled.clear()
         self._guard_degraded_at = self.step
+        self._guard_rearmed_at = None
         self._guard_rollbacks = 0
         self._guard_windows = 0
         self._guard_trip_best_steps = []
@@ -499,6 +533,7 @@ class Trainer:
         self._compiled.clear()
         self._guard_rearms_used += 1
         self._guard_degraded_at = None
+        self._guard_rearmed_at = self.step
         self._guard_trip_best_steps = []
         logging.getLogger("rnb_neus2_tpu.train").warning(
             "divergence guard: %d clean steps in degraded mode — RGB+ "
@@ -534,10 +569,22 @@ class Trainer:
         hard = not math.isfinite(loss_color) or (
             loss_color > max(t.guard_hard_ratio * ref, t.guard_hard_abs)
             if have_ref else loss_color > t.guard_hard_abs)
+        # dead run: an exactly-zero color loss at full scale means no ray
+        # produced a valid sample (emptied occupancy grid / collapsed
+        # field) — live RUN_r3 attempt 3 "trained" 500+ steps at
+        # loss=0.000000 with frozen EMAs. Only meaningful once a healthy
+        # reference exists (early warm-up windows can legitimately be ~0).
+        if not hard and loss_color == 0.0 and (have_ref or self.step > 512):
+            hard = True
         if not hard and self._guard_ema_floor is not None and have_ref \
-                and ref > t.guard_ema_ceiling * self._guard_ema_floor:
+                and ref > max(t.guard_ema_ceiling * self._guard_ema_floor,
+                              t.guard_soft_abs):
             # gradual blow-up: each window passed the relative checks but
-            # the EMA itself has crept far past the run's best level
+            # the EMA itself has crept far past the run's best level.
+            # The absolute arm (> soft_abs) keeps natural mid-training
+            # loss drift (0.008 → 0.04 composite bump) from tripping it —
+            # a healthy normalized loss is ~0.05, and the backstop exists
+            # for the RUN_r2c failure mode (EMA crept to 1574).
             hard = True
         soft = not hard and (
             loss_color > max(t.guard_soft_ratio * ref, t.guard_soft_abs)

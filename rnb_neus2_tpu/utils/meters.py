@@ -12,9 +12,16 @@ class Ema:
     """Half-life based exponential moving average (common.h EEmaType)."""
 
     def __init__(self, half_life_steps: float = 50.0):
-        self.alpha = 0.5 ** (1.0 / max(half_life_steps, 1e-9))
+        self.half_life = max(half_life_steps, 1e-9)
+        self.alpha = 0.5 ** (1.0 / self.half_life)
         self.value = 0.0
         self._initialized = False
+        # updates since (re)initialization: restore paths must carry this
+        # along with the value — an EMA re-seeded via set(0.0) from an
+        # uninitialized checkpoint warmed up from zero and the warm-up
+        # values poisoned the divergence guard's best-ever floor (live
+        # RUN_r3 trips 62-81: ceiling ~0.03, every honest sync tripped).
+        self.updates = 0
 
     def update(self, x: float) -> float:
         if not self._initialized:
@@ -22,11 +29,19 @@ class Ema:
             self._initialized = True
         else:
             self.value = self.alpha * self.value + (1 - self.alpha) * float(x)
+        self.updates += 1
         return self.value
 
-    def set(self, x: float):
+    def set(self, x: float, updates: int = None):
         self.value = float(x)
         self._initialized = True
+        if updates is not None:
+            self.updates = int(updates)
+
+    def reset(self):
+        self.value = 0.0
+        self._initialized = False
+        self.updates = 0
 
 
 class Logger:

@@ -63,9 +63,9 @@ def reset(tr):
     tr._guard_ema_floor = None
     tr._guard_degraded_at = None
     tr._guard_rearms_used = 0
+    tr._guard_rearmed_at = None
     tr._guard_trip_best_steps = []
-    tr.loss_ema.value = 0.0
-    tr.loss_ema._initialized = False
+    tr.loss_ema.reset()
     tr.step = 0
 
 
@@ -335,16 +335,20 @@ def test_degraded_mode_rearms_after_clean_progress(trainer):
     assert tr.cfg.flags.apply_rgbplus
     assert tr._guard_rearms_used == 1
     assert tr._guard_degraded_at is None
-    # a re-trip degrades again (no raise — rgbplus was back on)
+    # a re-trip degrades again (no raise — rgbplus was back on). The
+    # re-arm-detonation fast path re-degrades on the FIRST trip; later
+    # trips roll the step back toward the deep anchor, so the clean
+    # advance must clear degraded_at + rearm_steps from a rolled-back
+    # step — use 3x the horizon.
     for _ in range(tr.cfg.train.guard_max_trips + 1):
         feed(tr, 1e6)
     assert not tr.cfg.flags.apply_rgbplus
     # second re-arm allowed, third is not
-    feed(tr, 0.05, step_advance=2 * tr.cfg.train.guard_rearm_steps)
+    feed(tr, 0.05, step_advance=3 * tr.cfg.train.guard_rearm_steps)
     assert tr.cfg.flags.apply_rgbplus and tr._guard_rearms_used == 2
     for _ in range(tr.cfg.train.guard_max_trips + 1):
         feed(tr, 1e6)
-    feed(tr, 0.05, step_advance=2 * tr.cfg.train.guard_rearm_steps)
+    feed(tr, 0.05, step_advance=3 * tr.cfg.train.guard_rearm_steps)
     assert not tr.cfg.flags.apply_rgbplus, "re-arms are bounded"
 
 
@@ -381,6 +385,128 @@ def test_slow_but_real_progress_never_thrash_trips(trainer):
         feed(tr, 0.05, step_advance=span // 4)
         feed(tr, 1e6)
     assert tr.cfg.flags.apply_rgbplus, "well-spread trips must not degrade"
+
+
+def test_rearm_detonation_redegrades_immediately(trainer):
+    """RUN_r3 regression: re-arming the RGB+ channel at step 2697
+    detonated within 40 steps (degraded-phase albedo drift put the state
+    outside the re-armed channel's stability basin), and the guard then
+    burned 25 trips thrashing the window. A trip within 256 steps of a
+    re-arm must re-degrade on the FIRST trip."""
+    tr = trainer
+    reset(tr)
+    feed(tr, 0.05)
+    for _ in range(tr.cfg.train.guard_max_trips + 1):
+        feed(tr, 1e6)
+    assert not tr.cfg.flags.apply_rgbplus
+    feed(tr, 0.05, step_advance=tr.cfg.train.guard_rearm_steps + 1)
+    assert tr.cfg.flags.apply_rgbplus          # re-armed
+    assert tr._guard_rearmed_at == tr.step
+    rearm_step = tr.step
+    feed(tr, 0.05, step_advance=30)
+    out = feed(tr, 1e6, step_advance=10)       # detonation ~40 past re-arm
+    assert out.get("rolled_back") is True
+    assert not tr.cfg.flags.apply_rgbplus, \
+        "one trip shortly after a re-arm must re-degrade immediately"
+    assert tr._guard_rollbacks == 0            # trip budget NOT burned
+    # the restored state is the fresh pre-detonation checkpoint, not the
+    # deep anchor
+    assert tr.step >= rearm_step
+
+
+def test_ema_ceiling_has_absolute_arm(trainer):
+    """RUN_r3 trips 62-81 regression: a low best-ever floor (honest or
+    poisoned) made the 50x ceiling fire on every sync once the EMA
+    honestly drifted to ~0.03 — sub-soft_abs losses can never be a
+    blow-up. The ceiling only arms above guard_soft_abs."""
+    tr = trainer
+    reset(tr)
+    for _ in range(3):
+        feed(tr, 0.0006)                 # floor captured very low
+    assert tr._guard_ema_floor == pytest.approx(0.0006, rel=1e-3)
+    # drift gently up to ~0.05 — a 80x EMA rise, but absolutely healthy;
+    # each sync is < 10x the trailing EMA so no soft trips either
+    loss = 0.0006
+    while loss < 0.05:
+        loss *= 1.15
+        out = feed(tr, loss)
+        assert "rolled_back" not in out, \
+            f"healthy sub-abs drift must never trip (loss={loss:.4g})"
+
+
+def test_rollback_preserves_uninitialized_ema(trainer):
+    """An uninitialized EMA checkpointed by seed_guard must come back
+    UNINITIALIZED from a rollback — restoring it as set(0.0) made the
+    EMA warm up from zero and warm-up values poisoned the ceiling floor
+    (RUN_r3)."""
+    tr = trainer
+    reset(tr)
+    tr.step = 100
+    tr.seed_guard()                       # post-resume seed, EMA cold
+    assert tr._good is not None
+    out = feed(tr, 1e6)                   # blown first sync → rollback
+    assert out.get("rolled_back") is True
+    assert not tr.loss_ema._initialized, \
+        "rollback must not initialize the EMA at 0.0"
+    # first healthy sync initializes the EMA at the honest level
+    feed(tr, 0.05)
+    assert tr.loss_ema.value == pytest.approx(0.05)
+    assert tr._guard_ema_floor == pytest.approx(0.05)
+
+
+def test_zero_loss_dead_run_trips(trainer):
+    """RUN_r3 attempt-3 regression: a resume into a collapsed state
+    'trained' 500+ steps at loss=0.000000 (no valid samples — emptied
+    occupancy grid). An exactly-zero color loss with a healthy reference
+    is a dead run, not a perfect fit."""
+    tr = trainer
+    reset(tr)
+    for _ in range(3):
+        feed(tr, 0.05)
+    good_step = tr.step
+    out = feed(tr, 0.0)
+    assert out.get("rolled_back") is True
+    assert tr.step == good_step
+
+
+def test_snapshot_roundtrips_degraded_state(trainer, tmp_path):
+    """RUN_r3 attempt-2 regression: a rolling snapshot saved from a
+    guard-degraded (no-rgbplus) trajectory was resumed with rgbplus ON
+    and detonated within 32 steps — degraded-phase albedo params can sit
+    outside the RGB+ channel's stability basin. The snapshot must carry
+    the degraded flag + re-arm budget + full EMA state across a resume."""
+    import dataclasses
+    from rnb_neus2_tpu.train import snapshot as snap
+    tr = trainer
+    reset(tr)
+    for _ in range(3):
+        feed(tr, 0.05)
+    # drive into degraded mode
+    for _ in range(tr.cfg.train.guard_max_trips + 1):
+        feed(tr, 1e6)
+    assert not tr.cfg.flags.apply_rgbplus
+    ema_val, ema_updates = tr.loss_ema.value, tr.loss_ema.updates
+    path = str(tmp_path / "degraded.msgpack")
+    snap.save_snapshot(path, tr)
+    # simulate a fresh process: default config has rgbplus ON
+    reset(tr)
+    assert tr.cfg.flags.apply_rgbplus
+    snap.restore_trainer(tr, snap.load_snapshot(path))
+    assert not tr.cfg.flags.apply_rgbplus, \
+        "resume must come back up degraded"
+    assert tr._guard_degraded_at is not None
+    assert tr.loss_ema.value == pytest.approx(ema_val)
+    assert tr.loss_ema.updates == ema_updates
+    # the guard is seeded: an immediate post-resume blow-up can roll back
+    assert tr._good is not None
+    # a user --no-rgbplus run is NOT marked guard-degraded
+    reset(tr)
+    feed(tr, 0.05)
+    tr.cfg = dataclasses.replace(
+        tr.cfg, flags=dataclasses.replace(tr.cfg.flags, apply_rgbplus=False))
+    path2 = str(tmp_path / "user_norgbplus.msgpack")
+    snap.save_snapshot(path2, tr)
+    assert not bool(np.asarray(snap.load_snapshot(path2)["guard_degraded"]))
 
 
 def test_cold_ema_rejects_blown_first_sync(trainer):

@@ -137,7 +137,15 @@ def test_snapshot_restore_across_adam_kinds(tmp_path, old_sparse,
     from rnb_neus2_tpu.train import snapshot as snap
 
     class _T:  # minimal trainer-shaped holder
-        pass
+        def __init__(self):
+            from rnb_neus2_tpu.utils.meters import Ema
+            self.loss_ema = Ema()
+            self._guard_degraded_at = None
+            self._guard_rearms_used = 0
+            self._compiled = {}
+
+        def seed_guard(self):
+            pass
 
     cfg_old = _cfg(sparse_adam=old_sparse)
     params = _params()
