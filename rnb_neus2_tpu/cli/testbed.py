@@ -71,6 +71,11 @@ def build_argparser():
                         "chain (LOSS_SCALE=128 fp16 dL/doutput + fp16 "
                         "parameter-gradient accumulation, testbed.h:237); "
                         "default: config")
+    p.add_argument("--occ-refresh-levels", type=int, default=0,
+                   help="cap the hash-grid levels used by occupancy-"
+                        "refresh density evals (0 = all levels, "
+                        "reference-exact; the 128^3 grid resolves no "
+                        "sub-cell detail from the top levels)")
     p.add_argument("--snapshot-each", type=int, default=0,
                    help="write output/snapshot_latest.msgpack every N "
                         "steps (atomic; crash/outage resume point)")
@@ -126,6 +131,8 @@ def make_config(args):
             args.target_batch_size // 32, 64)
     if args.occ_grid_size:
         train_kw["occ_grid_size"] = args.occ_grid_size
+    if args.occ_refresh_levels:
+        train_kw["occ_refresh_levels"] = args.occ_refresh_levels
     train = dataclasses.replace(cfg.train, **train_kw)
     march = cfg.march
     if args.n_ladder:

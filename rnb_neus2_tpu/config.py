@@ -301,6 +301,17 @@ class TrainConfig:
     # jit dispatch/RPC gap (~50 ms over the axon tunnel). 1 = always
     # per-step. Math and PRNG stream are identical either way.
     fused_steps: int = 16
+    # Occupancy-refresh encode truncation: cap the number of
+    # statically-active hash-grid levels used by the refresh's density
+    # evals (None = all levels, reference-exact: the CUDA refresh runs
+    # the full network, testbed_nerf.cu:3424-3495). The occupancy grid
+    # is 128³ — levels above ~2× its Nyquist rate (res 256 = level 9 of
+    # the default ladder) add sub-cell detail the 0/1 cell bit cannot
+    # express, while the refresh's 1M-point forward pays the full
+    # hashed-gather floor for them (~56 ms/step amortized, DESIGN.md
+    # kernel war round 3). TPU-first knob; flip the default only with
+    # measured bitfield-agreement + Chamfer evidence.
+    occ_refresh_levels: Optional[int] = None
     # Divergence guard (Trainer._guard_check): roll back to the last
     # healthy device-side state (repeat failure escalates to an anchor
     # checkpoint lagging >= 64 steps, since a blow-up builds below the

@@ -145,6 +145,7 @@ class ParallelTrainer(Trainer):
 
     def _raw_occ_fn(self, n_active: int, subsampled: bool):
         field = self.field
+        n_active = self._occ_n_active(n_active)
         cfg = self.cfg
         gsize = cfg.train.occ_grid_size
         decay = cfg.train.density_grid_decay

@@ -214,8 +214,17 @@ class Trainer:
         self._compiled[key] = occ_fn
         return occ_fn
 
+    def _occ_n_active(self, n_active: int) -> int:
+        """Statically-active encode levels for refresh density evals —
+        optionally capped by TrainConfig.occ_refresh_levels (the cap
+        statically removes the top hashed levels' gathers from the
+        refresh's 1M-point forward; see the config docstring)."""
+        cap = self.cfg.train.occ_refresh_levels
+        return n_active if cap is None else min(n_active, cap)
+
     def _raw_occ_fn(self, n_active: int, subsampled: bool):
         field = self.field
+        n_active = self._occ_n_active(n_active)
         decay = self.cfg.train.density_grid_decay
 
         gsize = self.cfg.train.occ_grid_size

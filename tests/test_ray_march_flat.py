@@ -135,6 +135,49 @@ def test_occupancy_nonuniform_sampling_biases_to_occupied():
     assert frac_uniform < 0.1 < frac_biased
 
 
+def test_occ_refresh_level_cap():
+    """TrainConfig.occ_refresh_levels statically caps the encode levels
+    used by refresh density evals (TPU perf knob; None/cap >= L is
+    bit-identical to the reference-exact full-level refresh)."""
+    from rnb_neus2_tpu.config import (HashGridConfig, MarchConfig,
+                                      TestbedConfig, TrainConfig)
+    from rnb_neus2_tpu.testing.synthetic import sphere_dataset
+    from rnb_neus2_tpu.train.trainer import Trainer
+
+    ds = sphere_dataset(n_views=2, width=16, height=16, radius=0.2)
+
+    def make(cap):
+        cfg = TestbedConfig(
+            grid=HashGridConfig(n_levels=4, top_resolution=64),
+            train=TrainConfig(target_batch_size=1 << 9,
+                              initial_rays_per_batch=64, occ_grid_size=16,
+                              seed=0, occ_refresh_levels=cap),
+            march=MarchConfig(n_ladder=64))
+        return Trainer(ds, cfg)
+
+    tr_full = make(None)
+    assert tr_full._occ_n_active(4) == 4
+    tr_same = make(8)          # cap above L = no-op
+    assert tr_same._occ_n_active(4) == 4
+    tr_cap = make(2)
+    assert tr_cap._occ_n_active(4) == 2
+
+    key = jax.random.PRNGKey(7)
+    step = jnp.asarray(600, jnp.int32)   # steady state: all levels active
+    occ_full = tr_full._occ_update_fn(4, subsampled=True)(
+        tr_full.params, tr_full.occ, key, step)
+    occ_same = tr_same._occ_update_fn(4, subsampled=True)(
+        tr_full.params, tr_full.occ, key, step)
+    np.testing.assert_array_equal(np.asarray(occ_full.density),
+                                  np.asarray(occ_same.density))
+    occ_cap = tr_cap._occ_update_fn(4, subsampled=True)(
+        tr_full.params, tr_full.occ, key, step)
+    # same machinery, same shapes; density values differ only through the
+    # truncated top-level features
+    assert occ_cap.density.shape == occ_full.density.shape
+    assert bool(jnp.all(jnp.isfinite(occ_cap.density)))
+
+
 # ---------------------------------------------------------------------------
 # multi-cascade occupancy (aabb_scale > 1)
 # ---------------------------------------------------------------------------
