@@ -241,7 +241,16 @@ def run(args) -> int:
                 and trainer.step < args.maxiter:
             latest = os.path.join(out_dir, "snapshot_latest.msgpack")
             loss_now = trainer.loss_ema.value
-            if not trainer.loss_ema._initialized or \
+            if not trainer.ek_healthy():
+                # loss-healthy but geometry-sick (eikonal EMA past the
+                # guard ceiling): not a resume point worth overwriting
+                # the last good generation with (RUN_r3b overwrote both
+                # generations with ek-0.08 states saved mid-thrash)
+                logger.error(
+                    f"iteration={trainer.step}: ek EMA "
+                    f"{trainer.ek_ema.value:.4g} is past the guard "
+                    "ceiling; skipping rolling snapshot")
+            elif not trainer.loss_ema._initialized or \
                     not (loss_now == loss_now and loss_now < 1e6):
                 # diverged/NaN — or EMA never initialized, i.e. no
                 # healthy window consumed since (re)start (live RUN_r3: a

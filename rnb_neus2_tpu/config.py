@@ -375,6 +375,24 @@ class TrainConfig:
     # guard_thrash_span steps, the window is unpassable at full
     # supervision — go terminal (degrade/raise) immediately.
     guard_thrash_span: int = 512
+    # Eikonal-creep channel (guard v4). An RGB+ poisoning can keep the
+    # color loss inside every band for hundreds of steps while the SDF
+    # stops being a distance function: RUN_r3b's re-armed stretch crept
+    # the ek EMA 0.0046 → 0.086 over steps ~3500-4300 before the first
+    # loss spike (4e6 at 3840), so loss-gated checkpoints kept advancing
+    # into the sickness and every rollback restored a poisoned state.
+    # Trip when the ek EMA exceeds guard_ek_ceiling × its best-ever
+    # (lowest) level AND the guard_ek_abs noise floor (healthy full-scale
+    # plateau ≈ 0.005-0.009; spiky-but-recoverable windows stay < 2×
+    # their floor). The trip restores the lagging anchor and degrades
+    # RGB+ immediately. 0 disables.
+    guard_ek_ceiling: float = 5.0
+    guard_ek_abs: float = 0.02
+    # A re-armed RGB+ stretch that ends in another degrade has shown that
+    # re-arming poisons this run — cancel the remaining re-arm budget
+    # (RUN_r3b: the repeat experiment cost 30 trips / 23 min and degraded
+    # from a sick state).
+    guard_rearm_cancel_on_degrade: bool = True
 
 
 @dataclasses.dataclass(frozen=True)

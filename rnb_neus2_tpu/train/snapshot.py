@@ -70,6 +70,21 @@ def save_snapshot(path: str, trainer) -> None:
             and not trainer.cfg.flags.apply_rgbplus),
         "guard_rearms_used": np.int32(
             getattr(trainer, "_guard_rearms_used", 0)),
+        # eikonal EMA + best-ever floors: the guard v4 ek-creep channel
+        # needs a warm geometry-health reference at resume — without the
+        # floor, resuming a sick snapshot seeds the floor AT the sick
+        # level and the creep trip is blind for the rest of the run
+        "ek_ema": np.float32(trainer.ek_ema.value
+                             if trainer.ek_ema._initialized else np.nan),
+        "ek_ema_updates": np.int32(trainer.ek_ema.updates),
+        "guard_ek_floor": np.float32(
+            getattr(trainer, "_guard_ek_floor", None)
+            if getattr(trainer, "_guard_ek_floor", None) is not None
+            else np.nan),
+        "guard_ema_floor": np.float32(
+            getattr(trainer, "_guard_ema_floor", None)
+            if getattr(trainer, "_guard_ema_floor", None) is not None
+            else np.nan),
     }
     with open(path, "wb") as f:
         f.write(serialization.msgpack_serialize(payload))
@@ -137,6 +152,17 @@ def restore_trainer(trainer, snap: Dict[str, Any]) -> None:
         updates = int(np.asarray(snap.get(
             "loss_ema_updates", int(trainer.loss_ema.half_life))))
         trainer.loss_ema.set(ema_val, updates=updates)
+    # guard v4 geometry-health state (absent in older snapshots)
+    ek_val = float(np.asarray(snap.get("ek_ema", np.nan)))
+    if math.isfinite(ek_val):
+        trainer.ek_ema.set(ek_val, updates=int(np.asarray(snap.get(
+            "ek_ema_updates", int(trainer.ek_ema.half_life)))))
+    ek_floor = float(np.asarray(snap.get("guard_ek_floor", np.nan)))
+    if math.isfinite(ek_floor):
+        trainer._guard_ek_floor = ek_floor
+    ema_floor = float(np.asarray(snap.get("guard_ema_floor", np.nan)))
+    if math.isfinite(ema_floor):
+        trainer._guard_ema_floor = ema_floor
     # guard-degraded trajectory: come back up with the RGB+ channel off
     # (the saved albedo params can sit outside its stability basin —
     # RUN_r3 attempt 2 detonated at resume) and the re-arm budget intact

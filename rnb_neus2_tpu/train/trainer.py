@@ -128,6 +128,16 @@ class Trainer:
         # best-ever step recorded at each trip — the thrash detector
         # (guard_thrash_span) reads net progress across the last N trips
         self._guard_trip_best_steps: list = []
+        # lowest eikonal EMA the run has ever reached. The eikonal term is
+        # the guard's geometry-health channel: RUN_r3b showed an RGB+
+        # poisoning that kept the color loss inside every band for ~700
+        # steps while the ek EMA crept 0.0046 → 0.086 (the SDF stopped
+        # being a distance function), and only THEN detonated (4e6 at step
+        # 3840). Loss-only checkpoints kept advancing into the creep, so
+        # every rollback restored an already-sick state and the trip
+        # budget thrashed away 23 minutes. guard_ek_ceiling/_abs trip on
+        # the creep itself. Monotone, NOT restored on rollback.
+        self._guard_ek_floor: Optional[float] = None
 
     # ------------------------------------------------------------------
     # jitted pieces
@@ -373,6 +383,14 @@ class Trainer:
             # tripped)
             "loss_ema": (self.loss_ema.value, self.loss_ema._initialized,
                          self.loss_ema.updates),
+            # ek/mask EMAs ride along too: a rollback that restores params
+            # but keeps the post-creep ek EMA would re-trip the ek ceiling
+            # on the very next sync regardless of the restored state's
+            # actual health (RUN_r3b pattern)
+            "ek_ema": (self.ek_ema.value, self.ek_ema._initialized,
+                       self.ek_ema.updates),
+            "mask_ema": (self.mask_ema.value, self.mask_ema._initialized,
+                         self.mask_ema.updates),
         }
 
     def _checkpoint_good(self) -> None:
@@ -409,11 +427,16 @@ class Trainer:
         self.n_rays = g["n_rays"]
         self._emap_counter = g["emap_counter"]
         self._emap_interval = g["emap_interval"]
-        value, initialized, updates = g["loss_ema"]
-        if initialized:
-            self.loss_ema.set(value, updates=updates)
-        else:
-            self.loss_ema.reset()
+        for name, ema in (("loss_ema", self.loss_ema),
+                          ("ek_ema", self.ek_ema),
+                          ("mask_ema", self.mask_ema)):
+            if name not in g:      # state dict from an older layout
+                continue
+            value, initialized, updates = g[name]
+            if initialized:
+                ema.set(value, updates=updates)
+            else:
+                ema.reset()
 
     def _rollback(self, bad_loss: float) -> None:
         bad_step = self.step
@@ -501,6 +524,18 @@ class Trainer:
             g = self._deep_anchor or self._anchor or self._good
             if g is not None:
                 self._restore(g)
+        # a re-armed stretch that ends back here has demonstrated that
+        # re-arming poisons THIS run (RUN_r3b: re-arm at 2928 → ek creep
+        # from ~3500 → detonation at 3840 → 30 trips / 23 min of thrash
+        # before re-degrading from a sick state) — cancel the remaining
+        # re-arm budget instead of repeating the experiment
+        if self._guard_rearmed_at is not None \
+                and self.cfg.train.guard_rearm_cancel_on_degrade \
+                and self._guard_rearms_used < self.cfg.train.guard_max_rearms:
+            logging.getLogger("rnb_neus2_tpu.train").warning(
+                "divergence guard: the re-armed RGB+ stretch ended in a "
+                "degrade — cancelling the remaining re-arm budget")
+            self._guard_rearms_used = self.cfg.train.guard_max_rearms
         self.cfg = dataclasses.replace(
             self.cfg, flags=dataclasses.replace(
                 self.cfg.flags, apply_rgbplus=False))
@@ -534,6 +569,13 @@ class Trainer:
                 or self.step < (self._guard_degraded_at
                                 + self.cfg.train.guard_rearm_steps):
             return
+        # only re-arm from an ek-healthy state: re-arming is a bet that
+        # the instability window has passed, and a field whose eikonal
+        # level is still elevated loses that bet immediately
+        if self._guard_ek_floor is not None and self.ek_ema._initialized \
+                and self.ek_ema.value > max(2.0 * self._guard_ek_floor,
+                                            self.cfg.train.guard_ek_abs):
+            return
         import dataclasses
         import logging
         self.cfg = dataclasses.replace(
@@ -549,6 +591,29 @@ class Trainer:
             "4th channel re-armed at step %d (re-arm %d/%d)",
             self.cfg.train.guard_rearm_steps, self.step,
             self._guard_rearms_used, self.cfg.train.guard_max_rearms)
+
+    def _ek_creep(self) -> bool:
+        """True when the eikonal EMA has crept past guard_ek_ceiling × its
+        best-ever level (and past the guard_ek_abs noise floor). This is
+        the geometry-health channel: an RGB+ poisoning can keep the color
+        loss inside every band for hundreds of steps while the SDF stops
+        being a distance function (RUN_r3b: ek EMA 0.0046 → 0.086 over
+        steps ~3500-4300 before the first 4e6 loss spike)."""
+        t = self.cfg.train
+        if not t.divergence_guard or t.guard_ek_ceiling <= 0 \
+                or self._guard_ek_floor is None \
+                or not self.ek_ema._initialized:
+            return False
+        return self.ek_ema.value > max(
+            t.guard_ek_ceiling * self._guard_ek_floor, t.guard_ek_abs)
+
+    def ek_healthy(self) -> bool:
+        """Public: False when _ek_creep holds. Gates the rolling snapshot
+        (cli/testbed.py) — a loss-healthy but ek-sick state is not a
+        resume point worth overwriting the last good generation with
+        (RUN_r3b: both rolling generations were overwritten with ek-0.08
+        states saved mid-thrash)."""
+        return not self._ek_creep()
 
     def _guard_check(self, loss_color: float) -> bool:
         """True = healthy. Call with the freshly synced loss BEFORE the
@@ -567,6 +632,26 @@ class Trainer:
         if not self.cfg.train.divergence_guard:
             return True
         t = self.cfg.train
+        # eikonal creep: checked BEFORE the loss bands because the whole
+        # point is that the loss still looks healthy. Only acts while the
+        # RGB+ channel is on — every observed creep was RGB+-driven, and
+        # in degraded mode the loss bands remain the (sufficient) defense.
+        if self._ek_creep() and self._good is not None \
+                and self.cfg.flags.apply_rgbplus:
+            import logging
+            ek_now = self.ek_ema.value
+            g = self._anchor or self._good
+            self._restore(g)   # also restores the pre-creep ek EMA
+            logging.getLogger("rnb_neus2_tpu.train").error(
+                "divergence guard: eikonal EMA %.4g crept past %.4g "
+                "(best-ever %.4g) — geometry degrading under a healthy "
+                "loss; restored step %d and degrading RGB+ now",
+                ek_now,
+                max(t.guard_ek_ceiling * (self._guard_ek_floor or 0.0),
+                    t.guard_ek_abs),
+                self._guard_ek_floor or float("nan"), g["step"])
+            self._enter_degraded_mode(restore=False)
+            return False
         ref = self.loss_ema.value
         have_ref = math.isfinite(ref) and ref > 0.0
         # cold-EMA hole (live RUN_r3): without a reference the old guard
@@ -659,6 +744,11 @@ class Trainer:
                     self._guard_ema_floor is None
                     or v < self._guard_ema_floor):
                 self._guard_ema_floor = v
+            ek = self.ek_ema.value
+            if math.isfinite(ek) and ek > 0.0 and (
+                    self._guard_ek_floor is None
+                    or ek < self._guard_ek_floor):
+                self._guard_ek_floor = ek
             self._checkpoint_good()
         return out
 

@@ -39,17 +39,20 @@ def trainer():
     return Trainer(ds, cfg)
 
 
-def metrics(loss, rays=64, n_valid=512.0):
-    return {"loss_color": loss, "loss_ek": 1e-4, "loss_mask": 0.1,
+def metrics(loss, rays=64, n_valid=512.0, ek=1e-4):
+    return {"loss_color": loss, "loss_ek": ek, "loss_mask": 0.1,
             "loss_total": loss, "n_valid_total": n_valid,
             "rays_per_batch": rays}
 
 
 def reset(tr):
     import dataclasses
-    # undo any degraded-mode flag flip a previous test left behind
+    # undo any degraded-mode flag flip / knob change a previous test left
     tr.cfg = dataclasses.replace(
-        tr.cfg, flags=dataclasses.replace(tr.cfg.flags, apply_rgbplus=True))
+        tr.cfg,
+        flags=dataclasses.replace(tr.cfg.flags, apply_rgbplus=True),
+        train=dataclasses.replace(tr.cfg.train,
+                                  guard_rearm_cancel_on_degrade=True))
     tr._compiled.clear()
     tr.lr_scale = 1.0
     tr._good = None
@@ -61,17 +64,20 @@ def reset(tr):
     tr._guard_best_step = -1
     tr._guard_suspect = False
     tr._guard_ema_floor = None
+    tr._guard_ek_floor = None
     tr._guard_degraded_at = None
     tr._guard_rearms_used = 0
     tr._guard_rearmed_at = None
     tr._guard_trip_best_steps = []
     tr.loss_ema.reset()
+    tr.ek_ema.reset()
+    tr.mask_ema.reset()
     tr.step = 0
 
 
-def feed(tr, loss, step_advance=1):
+def feed(tr, loss, step_advance=1, ek=1e-4):
     tr.step += step_advance
-    return tr._consume_metrics(metrics(loss))
+    return tr._consume_metrics(metrics(loss, ek=ek))
 
 
 def test_healthy_windows_checkpoint_and_never_trip(trainer):
@@ -319,9 +325,15 @@ def test_ema_ceiling_catches_gradual_blowup(trainer):
 def test_degraded_mode_rearms_after_clean_progress(trainer):
     """The instability window is transient, so degraded (no-rgbplus) mode
     re-enables the RGB+ channel after guard_rearm_steps of clean
-    progress instead of finishing thousands of steps under-supervised."""
+    progress instead of finishing thousands of steps under-supervised.
+    (cancel_on_degrade off here to exercise the multi-re-arm budget; the
+    default cancellation path has its own test below.)"""
+    import dataclasses
     tr = trainer
     reset(tr)
+    tr.cfg = dataclasses.replace(
+        tr.cfg, train=dataclasses.replace(
+            tr.cfg.train, guard_rearm_cancel_on_degrade=False))
     feed(tr, 0.05)
     for _ in range(tr.cfg.train.guard_max_trips + 1):
         feed(tr, 1e6)
@@ -525,3 +537,143 @@ def test_cold_ema_rejects_blown_first_sync(trainer):
     out = feed(tr, 0.05)
     assert "rolled_back" not in out
     assert tr.loss_ema.value == pytest.approx(0.05)
+
+
+def test_ek_creep_degrades_before_the_loss_blows(trainer):
+    """Guard v4 (RUN_r3b regression): an RGB+ poisoning kept the color
+    loss inside every band for ~700 steps while the eikonal EMA crept
+    0.0046 → 0.086 (the SDF stopped being a distance function) and only
+    THEN detonated at 4e6. The ek-creep channel must restore the lagging
+    anchor and degrade RGB+ while the loss still looks healthy."""
+    tr = trainer
+    reset(tr)
+    # healthy plateau forms the ek floor
+    for _ in range(4):
+        feed(tr, 0.05, step_advance=70, ek=0.005)
+    assert tr._guard_ek_floor == pytest.approx(0.005)
+    anchor_step = tr._anchor["step"]
+    # creep: loss stays perfectly healthy, ek rises far past
+    # max(5 x floor, 0.02); the EMA (half-life 50) needs several windows
+    tripped = False
+    for _ in range(400):
+        out = feed(tr, 0.05, step_advance=16, ek=0.5)
+        if not tr.cfg.flags.apply_rgbplus:
+            tripped = True
+            break
+    assert tripped, "ek creep under a healthy loss must degrade"
+    assert out.get("rolled_back") is True
+    # restored the lagging anchor, not the freshest (just-under-ceiling)
+    # checkpoint; its pre-creep ek EMA came back with it
+    assert tr.step <= anchor_step or tr.ek_ema.value < 0.02
+    assert tr.ek_healthy()
+    # trip budget untouched — creep-degrade is terminal, not a trip
+    assert tr.lr_scale == 1.0
+
+
+def test_ek_creep_inert_while_degraded(trainer):
+    """In degraded mode the creep channel must NOT trip (RGB+ is already
+    off — the only creep engine ever observed; the loss bands remain the
+    defense), so a degraded run with a drifting ek level keeps going."""
+    tr = trainer
+    reset(tr)
+    for _ in range(3):
+        feed(tr, 0.05, step_advance=70, ek=0.005)
+    for _ in range(tr.cfg.train.guard_max_trips + 1):
+        feed(tr, 1e6)
+    assert not tr.cfg.flags.apply_rgbplus
+    for _ in range(60):
+        out = feed(tr, 0.05, step_advance=16, ek=0.5)
+        assert "rolled_back" not in out
+    assert not tr.cfg.flags.apply_rgbplus
+
+
+def test_rollback_restores_ek_ema(trainer):
+    """A rollback that restores params but keeps the post-creep ek EMA
+    would re-trip the ceiling on the next sync regardless of the restored
+    state's health — the EMAs must ride the guard checkpoints."""
+    tr = trainer
+    reset(tr)
+    for _ in range(3):
+        feed(tr, 0.05, step_advance=70, ek=0.004)
+    ek_at_checkpoint = tr.ek_ema.value
+    # a window with elevated ek (below the abs floor → no creep trip),
+    # then a hard loss spike
+    feed(tr, 0.05, step_advance=1, ek=0.018)
+    assert tr.ek_ema.value > ek_at_checkpoint
+    feed(tr, 1e6)
+    # tier-1 restore = the freshest checkpoint (ek 0.018 window included)
+    # → roll a SECOND consecutive failure to the anchor, whose ek EMA
+    # predates the elevated window
+    feed(tr, 1e6, step_advance=0)
+    assert tr.ek_ema.value == pytest.approx(ek_at_checkpoint, rel=1e-3)
+
+
+def test_failed_rearm_cancels_remaining_budget(trainer):
+    """Guard v4 default: a re-armed RGB+ stretch that ends in another
+    degrade (cap or creep) proves re-arming poisons this run — the
+    remaining re-arm budget is cancelled instead of repeating a
+    23-minute experiment (RUN_r3b)."""
+    tr = trainer
+    reset(tr)
+    feed(tr, 0.05)
+    for _ in range(tr.cfg.train.guard_max_trips + 1):
+        feed(tr, 1e6)
+    assert not tr.cfg.flags.apply_rgbplus
+    feed(tr, 0.05, step_advance=tr.cfg.train.guard_rearm_steps + 1)
+    assert tr.cfg.flags.apply_rgbplus and tr._guard_rearms_used == 1
+    # survive past the detonation fast-path window, then cap out again
+    feed(tr, 0.05, step_advance=300)
+    for _ in range(tr.cfg.train.guard_max_trips + 2):
+        feed(tr, 1e6)
+    assert not tr.cfg.flags.apply_rgbplus
+    assert tr._guard_rearms_used == tr.cfg.train.guard_max_rearms, \
+        "a failed re-arm must cancel the remaining budget"
+    # and a long clean stretch must NOT re-arm again
+    feed(tr, 0.05, step_advance=4 * tr.cfg.train.guard_rearm_steps)
+    assert not tr.cfg.flags.apply_rgbplus
+
+
+def test_ek_gate_blocks_rearm(trainer):
+    """Re-arming is a bet that the window has passed; a field whose ek
+    EMA is still elevated (> max(2 x floor, abs)) loses it immediately —
+    hold the re-arm until the geometry has re-annealed."""
+    tr = trainer
+    reset(tr)
+    for _ in range(3):
+        feed(tr, 0.05, step_advance=70, ek=0.005)
+    for _ in range(tr.cfg.train.guard_max_trips + 1):
+        feed(tr, 1e6)
+    assert not tr.cfg.flags.apply_rgbplus
+    # elevate the ek EMA BEFORE the re-arm horizon elapses (short step
+    # advances), then cross the horizon with it still elevated → blocked
+    for _ in range(40):
+        feed(tr, 0.05, step_advance=10, ek=0.08)
+    for _ in range(10):
+        feed(tr, 0.05, step_advance=200, ek=0.08)
+    assert not tr.cfg.flags.apply_rgbplus
+    # ek re-anneals → re-arm proceeds
+    for _ in range(300):
+        feed(tr, 0.05, step_advance=10, ek=0.005)
+        if tr.cfg.flags.apply_rgbplus:
+            break
+    assert tr.cfg.flags.apply_rgbplus
+
+
+def test_snapshot_roundtrips_ek_state(trainer, tmp_path):
+    """The ek EMA and both best-ever floors must survive a snapshot
+    resume: without the floor, resuming a sick snapshot seeds the floor
+    AT the sick level and the creep trip is blind for the whole run."""
+    from rnb_neus2_tpu.train import snapshot as snap
+    tr = trainer
+    reset(tr)
+    for _ in range(4):
+        feed(tr, 0.05, step_advance=10, ek=0.006)
+    ek_val, ek_floor = tr.ek_ema.value, tr._guard_ek_floor
+    ema_floor = tr._guard_ema_floor
+    path = str(tmp_path / "ekstate.msgpack")
+    snap.save_snapshot(path, tr)
+    reset(tr)
+    snap.restore_trainer(tr, snap.load_snapshot(path))
+    assert tr.ek_ema.value == pytest.approx(ek_val)
+    assert tr._guard_ek_floor == pytest.approx(ek_floor)
+    assert tr._guard_ema_floor == pytest.approx(ema_floor)

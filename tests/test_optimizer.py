@@ -140,8 +140,12 @@ def test_snapshot_restore_across_adam_kinds(tmp_path, old_sparse,
         def __init__(self):
             from rnb_neus2_tpu.utils.meters import Ema
             self.loss_ema = Ema()
+            self.ek_ema = Ema()
+            self.mask_ema = Ema()
             self._guard_degraded_at = None
             self._guard_rearms_used = 0
+            self._guard_ek_floor = None
+            self._guard_ema_floor = None
             self._compiled = {}
 
         def seed_guard(self):
