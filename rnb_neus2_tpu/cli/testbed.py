@@ -71,6 +71,11 @@ def build_argparser():
                         "chain (LOSS_SCALE=128 fp16 dL/doutput + fp16 "
                         "parameter-gradient accumulation, testbed.h:237); "
                         "default: config")
+    p.add_argument("--dense-max-entries-log2", type=int, default=0,
+                   help="densify hash-grid levels whose full dense table "
+                        "fits in 2^N entries (no collisions, 1 gather row "
+                        "per sample instead of 8 on those levels; "
+                        "0 = reference-exact 2^19 cap everywhere)")
     p.add_argument("--occ-refresh-levels", type=int, default=0,
                    help="cap the hash-grid levels used by occupancy-"
                         "refresh density evals (0 = all levels, "
@@ -143,8 +148,12 @@ def make_config(args):
     if args.stoch_corner_bwd is not None:
         network = dataclasses.replace(
             network, stoch_corner_bwd=args.stoch_corner_bwd)
+    grid = cfg.grid
+    if args.dense_max_entries_log2:
+        grid = dataclasses.replace(
+            grid, dense_max_entries_log2=args.dense_max_entries_log2)
     return dataclasses.replace(cfg, flags=flags, loss=loss, train=train,
-                               march=march, network=network)
+                               march=march, network=network, grid=grid)
 
 
 def run(args) -> int:

@@ -46,6 +46,20 @@ class HashGridConfig:
     base_valid_level_scale: float = 0.2
     base_training_step: int = 100
     aabb_scale: float = 1.0
+    # TPU-first densification of mid levels. The reference caps every
+    # level's table at 2^log2_hashmap_size entries (grid.h:987-999) — a
+    # GPU tuning choice (tcnn wants tables hot in L2; 2^19·2·fp16 = 2 MB).
+    # On TPU the gather cost is per-ROW regardless of table size
+    # (DESIGN.md kernel-war round 2) and HBM is 16 GB, so a mid level can
+    # afford its FULL dense table: no hash collisions, and the forward
+    # fetches all 8 corners with ONE corner-redundant rows-of-16 gather
+    # instead of 8 independent rows-of-F gathers (8× fewer rows on that
+    # level). When set, any level whose padded dense size fits in
+    # 2^dense_max_entries_log2 gets its full dense table; levels beyond
+    # stay hashed at 2^log2_hashmap_size. At the default 14-level config,
+    # 22 densifies L5 (1.12M entries) and L6 (3.44M) — 2 of the 9 hashed
+    # levels. None = reference-exact layout.
+    dense_max_entries_log2: Optional[int] = None
 
     @property
     def per_level_scale(self) -> float:
@@ -76,12 +90,18 @@ class HashGridConfig:
         return tuple(int(s) + 1 for s in self.level_scales())
 
     def level_table_sizes(self) -> Tuple[int, ...]:
-        """Entries per level: min(next_mult(res³, 8), 2^T) (grid.h:987-999)."""
+        """Entries per level: min(next_mult(res³, 8), 2^T) (grid.h:987-999);
+        dense_max_entries_log2 lifts the cap for levels whose full dense
+        table fits under it (see the field docstring)."""
         sizes = []
         for res in self.level_resolutions():
             dense = res ** 3
             dense = -(-dense // 8) * 8  # next multiple of 8
-            sizes.append(min(dense, 1 << self.log2_hashmap_size))
+            if (self.dense_max_entries_log2 is not None
+                    and dense <= (1 << self.dense_max_entries_log2)):
+                sizes.append(dense)
+            else:
+                sizes.append(min(dense, 1 << self.log2_hashmap_size))
         return tuple(sizes)
 
     def level_offsets(self) -> Tuple[int, ...]:

@@ -282,3 +282,86 @@ def test_stochastic_corner_bwd_unbiased():
     assert 3.5 < err2 / err64 < 8.0, (err2, err64)
     # 12 streams x K=16 = 192 effective draws: sqrt(96) = 9.8x (meas. 9.6)
     assert 6.0 < err2 / err_salt < 14.0, (err2, err_salt)
+
+
+def test_dense_max_entries_densifies_mid_levels():
+    """dense_max_entries_log2 lifts the reference's 2^19 per-level cap
+    (grid.h:987-999 — a GPU L2-cache tuning choice) for levels whose FULL
+    dense table fits under 2^N: those levels lose their hash (no
+    collisions) and join the corner-redundant rows-of-16 gather path. At
+    the default 14-level config, 22 densifies exactly L5 and L6."""
+    base = HashGridConfig()
+    cfg = HashGridConfig(dense_max_entries_log2=22)
+    sizes, bsizes = cfg.level_table_sizes(), base.level_table_sizes()
+    res = cfg.level_resolutions()
+    static = he.HashGridStatic(cfg)
+    assert sizes[:5] == bsizes[:5]                 # already dense
+    for lvl in (5, 6):
+        assert sizes[lvl] == -(-res[lvl] ** 3 // 8) * 8
+        assert not static.hashed[lvl]
+    assert all(s == 1 << 19 for s in sizes[7:])    # beyond the cap
+    assert all(static.hashed[7:])
+    # monotone dense→hashed switch preserved
+    switch = list(static.hashed)
+    assert switch == sorted(switch)
+
+
+def test_densified_encode_matches_numpy_oracle():
+    """All three forwards (encode, encode_columns, the custom-VJP training
+    forward) agree with the numpy oracle on a MIXED densified layout:
+    small-dense levels, knob-densified mid levels, and a still-hashed top
+    level in one config."""
+    cfg = HashGridConfig(n_levels=4, top_resolution=64,
+                         log2_hashmap_size=10, dense_max_entries_log2=17)
+    static = he.HashGridStatic(cfg)
+    # the layout this test exists for: L0 small-dense, L1-2 knob-densified
+    # (dense size > 2^10 but <= 2^17), L3 hashed (64^3 > 2^17)
+    assert list(static.hashed) == [0, 0, 0, 1]
+    assert static.table_sizes[1] > (1 << 10)
+    table = jax.random.normal(jax.random.PRNGKey(0),
+                              (static.n_entries, 2), jnp.float32)
+    x = jax.random.uniform(jax.random.PRNGKey(1), (257, 3))
+    want = numpy_encode(table, np.asarray(x), static)
+    np.testing.assert_allclose(np.asarray(he.encode(table, x, static)),
+                               want, rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(he.encode_columns(table, x, static)), want,
+        rtol=1e-5, atol=1e-5)
+    f_cv, jac_cv = he.make_encode_with_jacobian_cv(static)(table, x, None)
+    np.testing.assert_allclose(np.asarray(f_cv), want, rtol=1e-5, atol=1e-5)
+    # jacobian on the densified levels agrees with the pure-jnp oracle
+    f_or, jac_or = he.encode_with_jacobian(table, x, static)
+    for d in range(3):
+        np.testing.assert_allclose(np.asarray(jac_cv[d]),
+                                   np.asarray(jac_or[d]),
+                                   rtol=1e-4, atol=1e-4)
+
+
+def test_densified_cv_gradient_matches_oracle():
+    """Table gradient through the custom VJP on the densified layout (the
+    nbhd rows-of-16 / stoch paths must handle knob-sized dense tables)
+    equals jax.grad through the pure-jnp oracle."""
+    cfg = HashGridConfig(n_levels=4, top_resolution=64,
+                         log2_hashmap_size=10, dense_max_entries_log2=17)
+    static = he.HashGridStatic(cfg)
+    table = he.init_table(jax.random.PRNGKey(3), cfg)
+    x = jax.random.uniform(jax.random.PRNGKey(4), (193, 3))
+    cot_f = jax.random.normal(jax.random.PRNGKey(5), (193, cfg.output_dim))
+    cot_j = tuple(jax.random.normal(jax.random.PRNGKey(6 + d),
+                                    (193, cfg.output_dim))
+                  for d in range(3))
+    fn = he.make_encode_with_jacobian_cv(static)
+
+    def loss_cv(t):
+        f, j = fn(t, x, None)
+        return jnp.vdot(f, cot_f) + sum(
+            jnp.vdot(j[d], cot_j[d]) for d in range(3))
+
+    def loss_oracle(t):
+        f, j = he.encode_with_jacobian(t, x, static)
+        return jnp.vdot(f, cot_f) + sum(
+            jnp.vdot(j[d], cot_j[d]) for d in range(3))
+
+    g_cv = np.asarray(jax.grad(loss_cv)(table))
+    g_or = np.asarray(jax.grad(loss_oracle)(table))
+    np.testing.assert_allclose(g_cv, g_or, rtol=2e-5, atol=2e-6)

@@ -234,3 +234,36 @@ def test_fused_chunk_matches_per_step():
         frac_off = np.mean(~np.isclose(la, lb, rtol=2e-5, atol=1e-6))
         assert frac_off < 1e-3, frac_off
         np.testing.assert_allclose(la, lb, rtol=0.2, atol=3e-4)
+
+
+def test_densified_levels_train_and_snapshot(tmp_path):
+    """Integration: HashGridConfig.dense_max_entries_log2 (lift the
+    reference's per-level 2^19 cap for mid levels — grid.h:987-999 is a
+    GPU-cache choice; TPU trades HBM for 8x fewer gather rows) flows
+    through Trainer steps, the fused-chunk path, and snapshot
+    save/restore at the changed table shape."""
+    from rnb_neus2_tpu.train import snapshot as snap
+
+    ds = sphere_dataset(n_views=4, width=24, height=24, radius=RADIUS)
+    grid = HashGridConfig(n_levels=4, top_resolution=64,
+                          log2_hashmap_size=10, dense_max_entries_log2=17)
+    # the point of the fixture: a knob-densified level exists
+    assert grid.level_table_sizes()[1] > (1 << 10)
+    cfg = TestbedConfig(
+        grid=grid,
+        train=TrainConfig(target_batch_size=1 << 11,
+                          initial_rays_per_batch=64,
+                          occ_grid_size=32, seed=0),
+        march=MarchConfig(n_ladder=256),
+    )
+    tr = Trainer(ds, cfg)
+    for _ in range(3):
+        m = tr.train_step()
+    assert np.isfinite(m["loss_total"])
+    p = str(tmp_path / "snap.msgpack")
+    snap.save_snapshot(p, tr)
+    tr2 = Trainer(ds, cfg)
+    snap.restore_trainer(tr2, snap.load_snapshot(p))
+    np.testing.assert_array_equal(
+        np.asarray(tr2.params["hash_table"]), np.asarray(tr.params["hash_table"]))
+    assert np.isfinite(tr2.train_step()["loss_total"])
