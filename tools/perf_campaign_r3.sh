@@ -30,6 +30,10 @@ timeout 4500 python tools/profiling/ab_stoch_corner.py 0 2 1 \
   > runs/AB_stoch_3arm_samesession.log 2>&1
 echo "[campaign] stoch A/B rc=$? at $(date)" >> /tmp/campaign.log
 
+timeout 3000 python tools/profiling/ab_dense_levels.py 0 22 \
+  > runs/AB_dense_levels.log 2>&1
+echo "[campaign] dense-levels A/B rc=$? at $(date)" >> /tmp/campaign.log
+
 timeout 3000 python bench.py > runs/BENCH_r3_defaults.log 2>&1
 echo "[campaign] bench rc=$? at $(date)" >> /tmp/campaign.log
 echo "[campaign] done at $(date)" >> /tmp/campaign.log
