@@ -81,6 +81,25 @@ def build_argparser():
                         "refresh density evals (0 = all levels, "
                         "reference-exact; the 128^3 grid resolves no "
                         "sub-cell detail from the top levels)")
+    p.add_argument("--rollover-grad-emu", type=int, default=None,
+                   help="1/0: emulate the reference's rollover-padded "
+                        "compacted backward (duplicated, n/S-rescaled "
+                        "gradient rows for padding; "
+                        "testbed_nerf.cu:4044-4068); default: config")
+    p.add_argument("--adapt-to-kept", type=int, default=None,
+                   help="1/0: adaptive rays/batch divides by the "
+                        "contributing (post-termination) sample count "
+                        "like the reference's compacted counter "
+                        "(testbed_nerf.cu:3532-3558); default: config")
+    p.add_argument("--stab-window", nargs=3, type=float, default=None,
+                   metavar=("START", "END", "SCALE"),
+                   help="feed-forward stabilizer: multiply the Adam "
+                        "update by SCALE for steps in [START, END) "
+                        "(default: config, 1200 2400 0.1 — the measured "
+                        "full-scale unstable window)")
+    p.add_argument("--no-stab-window", action="store_true",
+                   help="disable the stabilizer window (reference-exact "
+                        "update dynamics at every step)")
     p.add_argument("--snapshot-each", type=int, default=0,
                    help="write output/snapshot_latest.msgpack every N "
                         "steps (atomic; crash/outage resume point)")
@@ -128,6 +147,9 @@ def make_config(args):
     if args.fp16_grad_emu is not None:
         loss = dataclasses.replace(
             loss, fp16_grad_emulation=bool(args.fp16_grad_emu))
+    if args.rollover_grad_emu is not None:
+        loss = dataclasses.replace(
+            loss, rollover_grad_emulation=bool(args.rollover_grad_emu))
     train_kw = dict(max_steps=args.maxiter, seed=args.seed,
                     fractional_from_step=args.fractional_training)
     if args.target_batch_size:
@@ -138,6 +160,14 @@ def make_config(args):
         train_kw["occ_grid_size"] = args.occ_grid_size
     if args.occ_refresh_levels:
         train_kw["occ_refresh_levels"] = args.occ_refresh_levels
+    if args.adapt_to_kept is not None:
+        train_kw["adapt_to_kept"] = bool(args.adapt_to_kept)
+    if args.no_stab_window:
+        train_kw["stab_scale"] = 1.0
+    elif args.stab_window is not None:
+        s0, s1, sc = args.stab_window
+        train_kw.update(stab_start=int(s0), stab_end=int(s1),
+                        stab_scale=float(sc))
     train = dataclasses.replace(cfg.train, **train_kw)
     march = cfg.march
     if args.n_ladder:

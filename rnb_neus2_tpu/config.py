@@ -265,6 +265,22 @@ class LossConfig:
     # upper envelope of the fp16-representable dynamics). Sub-normal
     # flushing and 11-bit rounding are bit-faithful.
     fp16_grad_emulation: bool = False
+    # Emulate the reference's rollover-padded compacted backward
+    # (testbed_nerf.cu:4044-4068 + fill_rollover_and_rescale,
+    # neus2_tcnn common_device.h:526-535): the CUDA loss kernel compacts
+    # the n contributing (pre-termination) samples, then pads the fixed
+    # 2^18 network batch by REPEATING them — coords verbatim, dL/doutput
+    # rows rescaled by n/2^18. Each contributing sample j therefore
+    # carries effective gradient weight 1 + c_j·(n/S) where
+    # c_j = ⌊(S−1−rank_j)/n⌋ is its number of padded copies — a
+    # sample-dependent ≤2× reweighting the fp32 rebuild (which backs
+    # through the flat ladder with zero cotangents past termination)
+    # does not have. The ONLY remaining gradient-path difference vs the
+    # reference after the fp16 chain + sparse Adam (both exonerated and
+    # productized); parity-hypothesis knob, validated via the
+    # snapshot-replay matrix. Rank order is our slot order (the
+    # reference's is its atomicAdd compaction order — nondeterministic).
+    rollover_grad_emulation: bool = False
 
 
 @dataclasses.dataclass(frozen=True)
@@ -332,6 +348,35 @@ class TrainConfig:
     # kernel war round 3). TPU-first knob; flip the default only with
     # measured bitfield-agreement + Chamfer evidence.
     occ_refresh_levels: Optional[int] = None
+    # Feed-forward stabilizer window: multiply the Adam update by
+    # stab_scale for steps in [stab_start, stab_end). The full-scale
+    # composite runs throw recoverable single-batch spikes in a
+    # transient window (~steps 1400-1800 measured; guard trips observed
+    # 1536-2200 across RUN_r2*/RUN_r3* — DESIGN.md "Full-scale
+    # divergence") that the reactive guard can only handle by
+    # rollback-thrashing, while the replay matrix shows lr 1e-4 rides
+    # straight through it (runs/REPLAY_k0_lr1e4.log: stable where the
+    # 1e-3 control detonates to 3e7 at step ~1545). A feed-forward
+    # schedule cannot thrash: it is applied inside the jitted step from
+    # the traced step index, so it costs no recompiles and composes
+    # with the guard's reactive lr_scale. No reference analog (the CUDA
+    # testbed trains through the blow-up and eats the 0.237 Chamfer,
+    # RUN_r2c train-through control); disable with stab_scale=1.0 or
+    # --no-stab-window for reference-exact dynamics.
+    stab_start: int = 1200
+    stab_end: int = 2400
+    stab_scale: float = 0.1
+    # Adaptive rays/batch counter semantics: the reference rescales
+    # rays_per_batch by target/measured where measured is the COMPACTED
+    # (contributing, pre-termination) sample count
+    # (testbed_nerf.cu:3532-3558 measured_batch_size = compacted
+    # counter) — so its 2^18 budget is 2^18 samples that actually
+    # receive gradient. The rebuild's controller historically divided
+    # by the pre-termination VALID count (march output), which packs
+    # fewer contributing samples per step once surfaces form and
+    # termination bites. True = reference counter semantics (divide by
+    # n_samples_kept); False = legacy valid-count semantics.
+    adapt_to_kept: bool = False
     # Divergence guard (Trainer._guard_check): roll back to the last
     # healthy device-side state (repeat failure escalates to an anchor
     # checkpoint lagging >= 64 steps, since a blow-up builds below the

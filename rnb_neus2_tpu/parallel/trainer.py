@@ -34,7 +34,7 @@ from ..io.dataset import TrainingDataset
 from ..render.losses import training_loss
 from ..train import optimizer as opt
 from ..train.sampler import sample_ray_batch
-from ..train.trainer import Trainer, valid_level_for_step
+from ..train.trainer import Trainer, effective_lr_scale, valid_level_for_step
 from .mesh import make_mesh
 
 
@@ -137,7 +137,7 @@ class ParallelTrainer(Trainer):
                 rgb_scale = jnp.float32(1.0)
             params, opt_state = opt.apply_updates(
                 tx, cfg.optimizer, params, grads, opt_state, rgb_scale,
-                lr_scale)
+                effective_lr_scale(cfg.train, step, lr_scale))
             # error map carried through untouched (module docstring)
             return params, opt_state, emap, metrics
 

@@ -111,6 +111,42 @@ def quantize_grads_fp16(grads):
     return jax.tree_util.tree_map(q, grads)
 
 
+@jax.custom_vjp
+def scale_cotangent(x, w):
+    """Identity in value; the backward multiplies the cotangent by w
+    (w gets no gradient). Used by the rollover-compaction emulation to
+    give each sample the reference's padded-copy gradient weight."""
+    return x
+
+
+def _scale_cot_fwd(x, w):
+    return x, w
+
+
+def _scale_cot_bwd(w, g):
+    return (g * w, jnp.zeros_like(w))
+
+
+scale_cotangent.defvjp(_scale_cot_fwd, _scale_cot_bwd)
+
+
+def rollover_weights(keep: jnp.ndarray) -> jnp.ndarray:
+    """Per-slot gradient weight of the reference's rollover-padded
+    compacted backward (LossConfig.rollover_grad_emulation): the n kept
+    samples fill a fixed S-row network batch, rows [n, S) repeating row
+    (i mod n) with dL/doutput rescaled by n/S
+    (fill_rollover_and_rescale, neus2_tcnn common_device.h:526-535), so
+    kept sample with compaction rank r carries 1 + ⌊(S−1−r)/n⌋·(n/S).
+    Non-kept slots get 1 (their cotangent is already zero)."""
+    S = keep.shape[0]
+    k = keep.astype(jnp.int32)
+    n = jnp.maximum(jnp.sum(k), 1)
+    rank = jnp.cumsum(k) - 1
+    copies = (S - 1 - rank) // n
+    w = 1.0 + copies.astype(jnp.float32) * (n.astype(jnp.float32) / S)
+    return jnp.where(keep, w, 1.0)
+
+
 @functools.lru_cache(maxsize=None)
 def _make_guarded_sqrt(floor: float):
     """√max(x,0) with the derivative regularized by +1e−5 in the
@@ -211,21 +247,6 @@ def training_loss(field_out: Dict[str, jnp.ndarray], samples, batch: RayBatch,
     grad = field_out["grad"]
     albedo_raw = field_out["albedo_raw"]
     variance = field_out["variance"]
-    if cfg.fp16_grad_emulation:
-        # the reference's dL/doutput rows, stored as fp16 ×128
-        # (testbed_nerf.cu:1960-2083): rows 0-2 = albedo_raw, 3 = sdf,
-        # 4-6 + 8-10 = ∇sdf (we quantize their summed cotangent; the
-        # reference sums the two fp16 row groups inside its fp16
-        # backward), 7 = variance
-        sdf = fp16_grad_barrier(sdf)
-        grad = fp16_grad_barrier(grad)
-        albedo_raw = fp16_grad_barrier(albedo_raw)
-        # row 7 is written per-sample and reduce_sum'd in fp32
-        # (nerf_network.h:327-340) — broadcast so each sample's dL/dv is
-        # quantized before the sum, like the reference
-        variance = fp16_grad_barrier(
-            jnp.broadcast_to(variance, sdf.shape[:1]))
-    inv_s = jnp.exp(10.0 * variance)
 
     rid = jnp.minimum(samples.ray_id, R - 1)       # clipped gather index
     in_seg = samples.ray_id < R                    # slot belongs to a ray
@@ -238,6 +259,51 @@ def training_loss(field_out: Dict[str, jnp.ndarray], samples, batch: RayBatch,
         dirs = batch.ray_d[rid]
         s_ray_alive = ray_alive[rid]
     s_alive = s_ray_alive & in_seg & samples.valid
+
+    def keep_mask(sdf_, grad_, inv_s_):
+        """valid & pre-termination mask (shared by the main path below
+        and the rollover emulation's stop-gradient preview)."""
+        tc = jnp.sum(dirs * grad_, axis=-1)
+        a = neus.sdf_to_alpha(sdf_, tc, samples.dt, inv_s_,
+                              cos_anneal_ratio)
+        a = jnp.where(s_alive, a, 0.0)
+        lw_ = jnp.log1p(-jnp.minimum(a, 1.0 - 1e-7))
+        ce = jnp.concatenate([jnp.zeros((1,), lw_.dtype),
+                              jnp.cumsum(lw_)[:-1]])
+        base = ce[jnp.minimum(samples.seg_start, S - 1)]
+        return s_alive & (jnp.exp(ce - base[rid]) >= 1e-4)
+
+    if cfg.rollover_grad_emulation:
+        # the reference's rollover-padded compacted backward (see
+        # LossConfig.rollover_grad_emulation): weight each kept sample's
+        # output cotangent by its padded-copy count. keep is recomputed
+        # below from the barriered values — identical, XLA CSEs it.
+        sg = jax.lax.stop_gradient
+        w_roll = rollover_weights(keep_mask(
+            sg(sdf), sg(grad), jnp.exp(10.0 * sg(variance))))
+        sdf = scale_cotangent(sdf, w_roll)
+        grad = scale_cotangent(grad, w_roll[:, None])
+        albedo_raw = scale_cotangent(albedo_raw, w_roll[:, None])
+        variance = scale_cotangent(
+            jnp.broadcast_to(variance, sdf.shape[:1]), w_roll)
+    if cfg.fp16_grad_emulation:
+        # the reference's dL/doutput rows, stored as fp16 ×128
+        # (testbed_nerf.cu:1960-2083): rows 0-2 = albedo_raw, 3 = sdf,
+        # 4-6 + 8-10 = ∇sdf (we quantize their summed cotangent; the
+        # reference sums the two fp16 row groups inside its fp16
+        # backward), 7 = variance. Composed OUTSIDE the rollover barrier
+        # so the backward quantizes the cotangent first, then applies
+        # the rollover weight — the reference's write-fp16-then-rescale
+        # order.
+        sdf = fp16_grad_barrier(sdf)
+        grad = fp16_grad_barrier(grad)
+        albedo_raw = fp16_grad_barrier(albedo_raw)
+        # row 7 is written per-sample and reduce_sum'd in fp32
+        # (nerf_network.h:327-340) — broadcast so each sample's dL/dv is
+        # quantized before the sum, like the reference
+        variance = fp16_grad_barrier(
+            jnp.broadcast_to(variance, sdf.shape[:1]))
+    inv_s = jnp.exp(10.0 * variance)
 
     # ---- per-sample alpha ------------------------------------------------
     grad_for_alpha = jax.lax.stop_gradient(grad) \

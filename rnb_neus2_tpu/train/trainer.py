@@ -39,6 +39,18 @@ from . import optimizer as opt
 from .sampler import sample_ray_batch
 
 
+def effective_lr_scale(train_cfg, step, lr_scale):
+    """Compose the guard's reactive update scale with the feed-forward
+    stabilizer window (TrainConfig.stab_*): ×stab_scale for traced steps
+    in [stab_start, stab_end). Shared by Trainer and ParallelTrainer so
+    both jitted bodies apply identical schedules."""
+    if train_cfg.stab_scale >= 1.0 \
+            or train_cfg.stab_end <= train_cfg.stab_start:
+        return lr_scale
+    in_win = (step >= train_cfg.stab_start) & (step < train_cfg.stab_end)
+    return lr_scale * jnp.where(in_win, train_cfg.stab_scale, 1.0)
+
+
 def valid_level_for_step(grid_cfg, step: jnp.ndarray) -> jnp.ndarray:
     """jnp twin of HashGridConfig.valid_levels (grid.h:1430-1436)."""
     L = grid_cfg.n_levels
@@ -200,7 +212,7 @@ class Trainer:
                 rgb_scale = jnp.float32(1.0)
             params, opt_state = opt.apply_updates(
                 tx, cfg.optimizer, params, grads, opt_state, rgb_scale,
-                lr_scale)
+                effective_lr_scale(cfg.train, step, lr_scale))
             metrics = dict(metrics)
             emap = error_map.splat(emap, img, xy,
                                    metrics.pop("_per_ray_color_logged"))
@@ -725,11 +737,16 @@ class Trainer:
         if not self._guard_check(out["loss_color"]):
             out["rolled_back"] = True
             return out
-        n_valid = out["n_valid_total"]
-        if n_valid > 0:
+        # counter basis (TrainConfig.adapt_to_kept): the reference's
+        # controller divides by the COMPACTED contributing count
+        # (testbed_nerf.cu:3532-3558); legacy rebuild behavior divides by
+        # the pre-termination valid count
+        n_basis = out["n_samples_kept"] if self.cfg.train.adapt_to_kept \
+            else out["n_valid_total"]
+        if n_basis > 0:
             target = self.cfg.train.target_batch_size
             self.n_rays = int(np.clip(
-                r * target / n_valid,
+                r * target / n_basis,
                 self.cfg.train.initial_rays_per_batch // 8,
                 self.cfg.train.max_rays_per_batch))
         self.loss_ema.update(out["loss_color"])

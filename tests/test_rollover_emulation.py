@@ -1,0 +1,120 @@
+"""Rollover-compacted-backward emulation (LossConfig.rollover_grad_emulation).
+
+The reference pads its fixed 2^18-row network batch by repeating the n
+compacted (contributing) samples, with the padded dL/doutput rows rescaled
+by n/2^18 (fill_rollover_and_rescale, neus2_tcnn common_device.h:526-535;
+driven from testbed_nerf.cu:4044-4068). Each contributing sample j thus
+carries effective gradient weight 1 + ⌊(S−1−rank_j)/n⌋·(n/S). The knob
+reproduces that weighting at the network-output cotangent boundary.
+"""
+
+import dataclasses
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from rnb_neus2_tpu.config import (HashGridConfig, MarchConfig, TestbedConfig,
+                                  TrainConfig)
+from rnb_neus2_tpu.render.losses import (rollover_weights, scale_cotangent,
+                                         training_loss)
+
+
+def _brute_force_weights(keep, S):
+    """Simulate fill_rollover_and_rescale: count each kept sample's padded
+    copies in rows [n, S) of a batch filled by (i mod n) indexing."""
+    kept_idx = np.flatnonzero(keep)
+    n = max(len(kept_idx), 1)
+    w = np.ones(len(keep), np.float64)
+    for i in range(n, S):
+        w[kept_idx[i % n]] += n / S
+    return w
+
+
+def test_rollover_weights_match_brute_force():
+    rng = np.random.default_rng(0)
+    for frac in (0.1, 0.45, 0.7, 0.95, 1.0):
+        S = 64
+        keep = rng.random(S) < frac
+        keep[0] = True  # at least one kept
+        got = np.asarray(rollover_weights(jnp.asarray(keep)))
+        want = _brute_force_weights(keep, S)
+        np.testing.assert_allclose(got[keep], want[keep], rtol=1e-6)
+        np.testing.assert_array_equal(got[~keep], 1.0)
+
+
+def test_rollover_weights_bounds():
+    # weight is 1 for the tail of the compaction order and ≤ 2 overall
+    keep = jnp.ones((32,), bool)
+    w = np.asarray(rollover_weights(keep))
+    np.testing.assert_array_equal(w, 1.0)  # n == S: no padding at all
+    keep = jnp.arange(32) < 20
+    w = np.asarray(rollover_weights(keep))
+    assert w.max() <= 2.0 + 1e-6
+    assert np.all(w[:20] >= 1.0)
+
+
+def test_scale_cotangent_barrier():
+    x = jnp.asarray([1.0, 2.0, 3.0])
+    w = jnp.asarray([0.5, 1.0, 2.0])
+    np.testing.assert_array_equal(np.asarray(scale_cotangent(x, w)),
+                                  np.asarray(x))
+    g = jax.grad(lambda x_: jnp.sum(scale_cotangent(x_, w) *
+                                    jnp.asarray([1.0, 10.0, 100.0])))(x)
+    np.testing.assert_allclose(np.asarray(g), [0.5, 10.0, 200.0])
+
+
+def test_training_loss_value_unchanged_grads_reweighted():
+    from rnb_neus2_tpu.testing.synthetic import sphere_dataset
+    from rnb_neus2_tpu.train.sampler import sample_ray_batch
+    from rnb_neus2_tpu.train.trainer import Trainer
+
+    ds = sphere_dataset(n_views=4, width=24, height=24, radius=0.2)
+    cfg = TestbedConfig(
+        grid=HashGridConfig(n_levels=4, top_resolution=64),
+        train=TrainConfig(target_batch_size=1 << 11,
+                          initial_rays_per_batch=128,
+                          occ_grid_size=32, seed=0),
+        march=MarchConfig(n_ladder=256))
+    tr = Trainer(ds, cfg)
+    # one real step populates the occupancy bitfield (empty at init →
+    # zero marched samples); 16 rays × ≤256-sample ladders then
+    # under-fill the 2048-slot buffer, so the rollover padding region is
+    # non-empty (n kept < S) and the emulation's weights are > 1 — with
+    # a full buffer (n == S) the reference pads nothing and the
+    # emulation is correctly a no-op
+    tr.train_step()
+    batch, samples, pos, _ = sample_ray_batch(
+        ds, tr.occ.bitfield, jax.random.PRNGKey(3), 16,
+        cfg.train.target_batch_size, cfg.march)
+
+    def run(emulate):
+        loss_cfg = dataclasses.replace(cfg.loss,
+                                       rollover_grad_emulation=emulate)
+
+        def loss_fn(p):
+            out = tr.field.apply(p, pos)
+            total, _ = training_loss(out, samples, batch, cfg.flags,
+                                     loss_cfg, 1.0)
+            return total
+
+        return jax.value_and_grad(loss_fn)(tr.params)
+
+    (l_off, g_off), (l_on, g_on) = run(False), run(True)
+    # the barrier is identity in value
+    assert np.isclose(float(l_off), float(l_on))
+    # per-sample weights are in [1, 2], so every per-parameter gradient
+    # magnitude stays within 2× of the unweighted one when contributions
+    # share a slot sign — check the global envelope loosely and that the
+    # reweighting actually happened (padding exists at this config)
+    a = np.concatenate([np.asarray(x).ravel() for x in
+                        jax.tree_util.tree_leaves(g_off["hash_table"])])
+    b = np.concatenate([np.asarray(x).ravel() for x in
+                        jax.tree_util.tree_leaves(g_on["hash_table"])])
+    assert np.all(np.isfinite(b))
+    assert not np.allclose(a, b)
+    # (3× headroom: per-slot weights are ≤ 2 but sign cancellation inside
+    # a hash entry can push an individual entry's ratio past 2)
+    assert np.abs(b).max() <= 3.0 * np.abs(a).max() + 1e-12
+    v_on = float(np.asarray(g_on["variance"])[0])
+    assert np.isfinite(v_on)
