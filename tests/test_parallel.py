@@ -86,6 +86,71 @@ def test_parallel_trainer_host_loop(setup):
     assert out["n_valid_total"] > 0
 
 
+def test_parallel_guard_rollback_under_sharding(setup):
+    """Guard rollback with sharded device state (VERDICT r3 weak #4): after
+    healthy steps have checkpointed, corrupt the live replicated params and
+    feed a blown loss through _guard_check — the real train_step trip path.
+    The restore must bring back the last healthy params bit-for-bit, rewind
+    the step counter, and leave the trainer able to keep training finite
+    over the mesh (i.e. the rolled-back state re-shards cleanly into the
+    shard_mapped step)."""
+    ds, cfg = setup
+    tr = ParallelTrainer(ds, cfg)
+    for _ in range(6):
+        tr.train_step()
+    assert tr._good is not None        # guard holds a healthy checkpoint
+    good = jax.tree_util.tree_map(np.asarray, tr._good["params"])
+    good_step = tr._good["step"]
+    tr.params = jax.tree_util.tree_map(lambda x: x * 1e6, tr.params)
+    tr.step += 1
+    scale_before = tr.lr_scale
+    assert tr._guard_check(float("inf")) is False
+    assert tr.step == good_step
+    assert tr.lr_scale < scale_before  # reactive update-scale backoff
+    for a, b in zip(jax.tree_util.tree_leaves(good),
+                    jax.tree_util.tree_leaves(tr.params)):
+        np.testing.assert_array_equal(a, np.asarray(b))
+    for _ in range(3):
+        out = tr.train_step()
+    assert np.isfinite(out["loss_total"])
+    for leaf in jax.tree_util.tree_leaves(tr.params):
+        leaf = np.asarray(leaf)
+        assert np.isfinite(leaf).all()
+
+
+def test_parallel_snapshot_cycle_under_sharding(setup, tmp_path):
+    """Snapshot save → restore → resume under sharding (VERDICT r3 weak
+    #4): a snapshot written from a sharded ParallelTrainer restores into
+    new ParallelTrainers with the donor's exact params, and two
+    independent restores resume in bit-lockstep (same PRNG stream, same
+    device state) — the property the re-exec tunnel recovery relies on."""
+    from rnb_neus2_tpu.train.snapshot import (load_snapshot,
+                                              restore_trainer,
+                                              save_snapshot)
+
+    ds, cfg = setup
+    a = ParallelTrainer(ds, cfg)
+    for _ in range(5):
+        a.train_step()
+    path = str(tmp_path / "snap.msgpack")
+    save_snapshot(path, a)
+    snap = load_snapshot(path)
+
+    b, c = ParallelTrainer(ds, cfg), ParallelTrainer(ds, cfg)
+    for t in (b, c):
+        restore_trainer(t, snap)
+        t.seed_guard()
+        assert t.step == a.step and t.n_rays == a.n_rays
+    for x, y in zip(jax.tree_util.tree_leaves(a.params),
+                    jax.tree_util.tree_leaves(b.params)):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+    lb = [b.train_step()["loss_total"] for _ in range(3)]
+    lc = [c.train_step()["loss_total"] for _ in range(3)]
+    np.testing.assert_array_equal(np.asarray(lb), np.asarray(lc))
+    assert np.isfinite(np.asarray(lb)).all()
+    assert b.step == c.step == a.step + 3
+
+
 def test_parallel_trainer_matches_single_chip_loss(setup):
     """Same seed, same scene: the parallel trainer's loss trajectory must
     track the single-chip trainer's (not bit-equal — ray batches shard
