@@ -71,6 +71,12 @@ def build_argparser():
                         "chain (LOSS_SCALE=128 fp16 dL/doutput + fp16 "
                         "parameter-gradient accumulation, testbed.h:237); "
                         "default: config")
+    p.add_argument("--rgbplus-ref-jacobian", action="store_true",
+                   help="control arm: the reference's RGB+ L2 jacobian "
+                        "verbatim inside the clamped region "
+                        "(testbed_nerf.cu:1934-1940) instead of the "
+                        "true-subgradient fix (LossConfig."
+                        "rgbplus_ref_jacobian)")
     p.add_argument("--dense-max-entries-log2", type=int, default=0,
                    help="densify hash-grid levels whose full dense table "
                         "fits in 2^N entries (no collisions, 1 gather row "
@@ -150,6 +156,8 @@ def make_config(args):
     if args.rollover_grad_emu is not None:
         loss = dataclasses.replace(
             loss, rollover_grad_emulation=bool(args.rollover_grad_emu))
+    if args.rgbplus_ref_jacobian:
+        loss = dataclasses.replace(loss, rgbplus_ref_jacobian=True)
     train_kw = dict(max_steps=args.maxiter, seed=args.seed,
                     fractional_from_step=args.fractional_training)
     if args.target_batch_size:

@@ -248,6 +248,21 @@ class LossConfig:
     # scale, and the divergence guard (trainer.py) is the defense.
     # Default stays reference-exact.
     rgbplus_grad_floor: float = 0.0
+    # Reproduce the reference's RGB+ L2 jacobian VERBATIM inside the
+    # clamped region (testbed_nerf.cu:1934-1940): −2aᵢ/(a₄+1e−5) even
+    # where the forward √max(0, 3−Σa²) is flat at 0. Default False = the
+    # round-4 root-cause fix: a true sub-gradient that vanishes for
+    # 3−Σa² ≤ 0. The reference's in-clamp slope is the named driver of
+    # the full-scale divergence: with a negative 4th-channel target
+    # (GT shading < 0) and positive sample shading it rewards GROWING
+    # the albedo (the forward channel never moves), a positive feedback
+    # loop through the exp activation that grows hash entries
+    # geometrically at any update scale (×1.3/step measured — see
+    # runs/r4_10k/DISSECT_TRAIN_2400.log and the floor replays above,
+    # which capped the magnitude but not the wrong-sign region and
+    # diverged at the same onset). Outside the clamp the gradient is
+    # bit-identical either way.
+    rgbplus_ref_jacobian: bool = False
     # Emulate the reference's fp16 loss-gradient chain. The CUDA testbed
     # computes dL/doutput in float but STORES it as fp16
     # (tcnn::network_precision_t) scaled by LOSS_SCALE=128

@@ -148,20 +148,31 @@ def rollover_weights(keep: jnp.ndarray) -> jnp.ndarray:
 
 
 @functools.lru_cache(maxsize=None)
-def _make_guarded_sqrt(floor: float):
+def _make_guarded_sqrt(floor: float, clamped_subgradient: bool = True):
     """√max(x,0) with the derivative regularized by +1e−5 in the
     denominator, like the reference's hand-written jacobian
     (testbed_nerf.cu:1942-1947). At the Xavier init albedo ≈ exp(0) = 1, so
     3−Σa² sits exactly at 0 and the unguarded derivative is +∞.
 
+    clamped_subgradient (DEFAULT, a deliberate fix of an upstream bug):
+    zero the derivative where the forward is clamped (x ≤ 0). The
+    reference's jacobian −2aᵢ/(a₄+1e−5) keeps reporting a slope inside the
+    flat region, so whenever the 4th-channel target is negative (GT shading
+    < 0) and the sample's shading is positive, the backward claims that
+    GROWING the albedo moves the (actually frozen-at-0) channel toward its
+    target — a positive feedback loop through the exp albedo activation
+    (gradient ∝ a) that grows hash entries geometrically at ANY update
+    scale. Measured live: runs/r4_10k/DISSECT_TRAIN_2400.log — hash-table
+    update norms ×1.3/step, albedo → e¹⁰ at one spot, forward loss 1.4e7
+    within 300 steps of a guard-approved healthy state. A true sub-gradient
+    of √max(x,0) vanishes in the clamp region and breaks the loop; outside
+    the clamp the gradient is EXACTLY the reference's.
+
     The reference's +1e−5 shift still admits ~1e5× gradients as predicted
-    albedo → white; at full scale those kicks self-amplify through the
-    2048-res hash levels into exponential divergence (DESIGN.md "Full-scale
-    divergence"). `floor` additionally clamps the denominator from below:
-    whenever √(3−Σa²) ≥ floor the gradient is EXACTLY the reference's; only
-    inside the near-singular regime (where the reference's value is a
-    numerically meaningless 1e5×) is it bounded by ~|a|/floor. floor = 0
-    reproduces the reference verbatim."""
+    albedo → white; `floor` additionally clamps the denominator from below
+    (whenever √(3−Σa²) ≥ floor the gradient is EXACTLY the reference's).
+    floor = 0 + clamped_subgradient=False reproduces the reference
+    verbatim (LossConfig.rgbplus_ref_jacobian / --rgbplus-ref-jacobian)."""
 
     @jax.custom_vjp
     def f(x):
@@ -169,32 +180,40 @@ def _make_guarded_sqrt(floor: float):
 
     def fwd(x):
         y = jnp.sqrt(jnp.maximum(x, 0.0))
-        return y, y
+        return y, (y, x)
 
-    def bwd(y, g):
-        return (g * 0.5 / jnp.maximum(y + 1e-5, floor),)
+    def bwd(res, g):
+        y, x = res
+        d = g * 0.5 / jnp.maximum(y + 1e-5, floor)
+        if clamped_subgradient:
+            d = jnp.where(x > 0.0, d, 0.0)
+        return (d,)
 
     f.defvjp(fwd, bwd)
     return f
 
 
 def rgbplus_channel(a3: jnp.ndarray, flags: RenderFlags,
-                    grad_floor: float = 0.0) -> jnp.ndarray:
+                    grad_floor: float = 0.0,
+                    ref_jacobian: bool = False) -> jnp.ndarray:
     """4th albedo channel (testbed_nerf.cu:1523-1535)."""
     if not flags.apply_rgbplus:
         return jnp.zeros_like(a3[..., 0])
     if flags.apply_l2:
-        return _make_guarded_sqrt(grad_floor)(3.0 - jnp.sum(a3 * a3, axis=-1))
+        return _make_guarded_sqrt(grad_floor, not ref_jacobian)(
+            3.0 - jnp.sum(a3 * a3, axis=-1))
     return 3.0 - jnp.sum(jnp.abs(a3), axis=-1)
 
 
 def make_albedo4(a3: jnp.ndarray, flags: RenderFlags,
-                 grad_floor: float = 0.0) -> jnp.ndarray:
+                 grad_floor: float = 0.0,
+                 ref_jacobian: bool = False) -> jnp.ndarray:
     if flags.apply_no_albedo:
         ones = jnp.ones_like(a3)
         return jnp.concatenate([ones, jnp.zeros_like(a3[..., :1])], axis=-1)
     return jnp.concatenate(
-        [a3, rgbplus_channel(a3, flags, grad_floor)[..., None]], axis=-1)
+        [a3, rgbplus_channel(a3, flags, grad_floor, ref_jacobian)[..., None]],
+        axis=-1)
 
 
 def color_loss_fn(pred4: jnp.ndarray, target4: jnp.ndarray,
@@ -337,7 +356,8 @@ def training_loss(field_out: Dict[str, jnp.ndarray], samples, batch: RayBatch,
     shade_pred = shading.shade(grad_for_shade, light_world[rid],
                                flags.apply_relu)
     albedo4 = make_albedo4(albedo_activation(albedo_raw), flags,
-                           cfg.rgbplus_grad_floor)               # (S,4)
+                           cfg.rgbplus_grad_floor,
+                           cfg.rgbplus_ref_jacobian)             # (S,4)
 
     # slots are ray-ordered by construction (march_flat compaction), so
     # the segment ids are sorted — lets XLA skip the general scatter path
