@@ -1,4 +1,5 @@
 """Bisect fwd/bwd cost of field components at 2^18 samples on real TPU."""
+import sys; sys.path.insert(0, "/root/repo")  # noqa: E702
 import time
 import jax
 import jax.numpy as jnp
