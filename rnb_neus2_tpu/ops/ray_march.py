@@ -29,6 +29,7 @@ and the network then always runs on a single static (S, 3) shape.
 
 from __future__ import annotations
 
+import math
 from typing import NamedTuple
 
 import jax
@@ -128,6 +129,31 @@ def march(ray_o: jnp.ndarray, ray_d: jnp.ndarray, bitfield: jnp.ndarray,
                        n_valid=n_valid)
 
 
+def effective_ladder_points(n_ladder: int, cone_angle: float,
+                            aabb_scale: float = 1.0) -> int:
+    """Tight static bound on ladder points any ray can place inside the
+    marched cube — points past the exit are masked (valid=False) and cost
+    pure waste, so shrinking K to this bound is BIT-EXACT.
+
+    Worst case is entry at t=0 crossing the full diagonal s·√3:
+    ceil(t_switch/dt_min) constant steps then geometric growth by
+    (1+cone) to the diagonal (the reference's 1024 NERF_STEPS covers the
+    cone=0 ladder exactly; at the default cone 1/256 only ~612 of those
+    can ever be inside — the other 40% of the (R,K) occupancy gathers,
+    position math and rank cumsum are dead work)."""
+    diag = aabb_scale * math.sqrt(3.0)
+    dt_min = MIN_CONE_STEPSIZE
+    if cone_angle <= 0.0:
+        need = int(math.ceil(diag / dt_min))
+    else:
+        t_switch = dt_min / cone_angle
+        n0 = math.ceil(t_switch / dt_min)
+        geo = (math.log(diag / t_switch) / math.log1p(cone_angle)
+               if diag > t_switch else 0.0)
+        need = int(n0 + math.ceil(geo))
+    return min(n_ladder, max(need + 8, 1))   # +8 jitter/rounding margin
+
+
 def march_flat(ray_o: jnp.ndarray, ray_d: jnp.ndarray, bitfield: jnp.ndarray,
                u_start: jnp.ndarray, n_ladder: int, n_slots: int,
                cone_angle: float, aabb_scale: float = 1.0) -> FlatSamples:
@@ -135,7 +161,7 @@ def march_flat(ray_o: jnp.ndarray, ray_d: jnp.ndarray, bitfield: jnp.ndarray,
     budget overflow — the TPU restatement of the reference's two-pass
     count + atomicAdd compaction (testbed_nerf.cu:1332-1364)."""
     R = ray_o.shape[0]
-    K = n_ladder
+    K = n_ladder = effective_ladder_points(n_ladder, cone_angle, aabb_scale)
     t, dt, valid, n_valid, startt = _ladder_valid(
         ray_o, ray_d, bitfield, u_start, n_ladder, cone_angle, aabb_scale)
     cum = jnp.cumsum(n_valid)

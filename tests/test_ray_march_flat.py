@@ -250,3 +250,42 @@ def test_cascade_maxpool_propagates_fine_occupancy():
     # specifically at (g/4 + g/4, ...) = pooled coords
     px = q + (g // 2) // 2
     assert b1[px, px, px]
+
+
+def test_effective_ladder_trim_is_bit_exact():
+    """Shrinking the internal (R,K) ladder to the static coverage bound
+    (effective_ladder_points) must be invisible in every march_flat
+    output — points past the cube exit are masked and carry nothing.
+    Includes the analytic worst case: entry at t=0 along the diagonal."""
+    import jax
+
+    from rnb_neus2_tpu.ops import ray_march as rm
+
+    assert rm.effective_ladder_points(1024, 1.0 / 256.0) == 620
+    assert rm.effective_ladder_points(1024, 0.0) == 1024      # cone 0: no cut
+    assert rm.effective_ladder_points(512, 1.0 / 256.0) == 512
+
+    key = jax.random.PRNGKey(0)
+    R = 255
+    o = jax.random.uniform(key, (R, 3)) * 3 - 1
+    d = jax.random.normal(jax.random.PRNGKey(1), (R, 3))
+    d = d / jnp.linalg.norm(d, axis=1, keepdims=True)
+    # worst-case ray: origin ON the cube corner, along the main diagonal
+    o = jnp.concatenate([o, jnp.zeros((1, 3))])
+    d = jnp.concatenate([d, jnp.full((1, 3), 1.0 / np.sqrt(3.0))])
+    u = jax.random.uniform(jax.random.PRNGKey(2), (R + 1,))
+    bf = jax.random.uniform(jax.random.PRNGKey(3), (128 ** 3,)) < 0.5
+
+    new = rm.march_flat(o, d, bf, u, 1024, 8192, 1.0 / 256.0)
+    orig = rm.effective_ladder_points
+    try:
+        rm.effective_ladder_points = lambda n, c, a=1.0: n
+        old = rm.march_flat(o, d, bf, u, 1024, 8192, 1.0 / 256.0)
+    finally:
+        rm.effective_ladder_points = orig
+    for f in new._fields:
+        assert np.array_equal(np.asarray(getattr(new, f)),
+                              np.asarray(getattr(old, f))), f
+    # the worst-case ray's occupied count stays below the trimmed K
+    assert int(old.n_valid[-1]) <= rm.effective_ladder_points(
+        1024, 1.0 / 256.0)
