@@ -62,6 +62,11 @@ def build_argparser():
                    help="occupancy grid resolution (0 = reference 128)")
     p.add_argument("--n-ladder", type=int, default=0,
                    help="ray-march ladder length (0 = reference 1024)")
+    p.add_argument("--cone-angle", type=float, default=None,
+                   help="ray-march cone angle (default: reference rule — "
+                        "0 for aabb_scale <= 1, testbed_nerf.cu:3214; "
+                        "rounds 1-4 trained at 1/256, kept as an A/B "
+                        "override)")
     p.add_argument("--stoch-corner-bwd", type=int, default=None,
                    help="K>0: unbiased K-corner stochastic hash-grid "
                         "backward (default: config, K=2); 0 = exact "
@@ -180,6 +185,8 @@ def make_config(args):
     march = cfg.march
     if args.n_ladder:
         march = dataclasses.replace(march, n_ladder=args.n_ladder)
+    if args.cone_angle is not None:
+        march = dataclasses.replace(march, cone_angle=args.cone_angle)
     if args.disable_snap_to_center:
         march = dataclasses.replace(march, snap_to_pixel_centers=False)
     network = cfg.network
@@ -240,6 +247,7 @@ def run(args) -> int:
         logger.info(f"Saved mesh to {path} "
                     f"({len(m['V'])} verts, {len(m['F'])} faces)")
 
+    _snap_writer = None
     trace_at = None
     if args.trace_steps:
         # trace a mid-run window: past the occupancy warm-up so the
@@ -310,13 +318,18 @@ def run(args) -> int:
                     f"iteration={trainer.step}: loss={loss_now} is "
                     "divergent; skipping rolling snapshot")
             else:
-                # keep one generation back: a crash or a divergence
-                # detected one window later can still resume from .prev
-                if os.path.exists(latest):
-                    os.replace(latest, latest + ".prev")
-                snap.save_snapshot(latest + ".tmp", trainer)
-                os.replace(latest + ".tmp", latest)
+                # async: on-device copy now, background thread pulls +
+                # serializes + rotates latest → latest.prev (keeping one
+                # generation back for crash/divergence recovery). The
+                # synchronous write cost ~1.2 s every 200 steps — the
+                # biggest single item in the production-vs-bench gap
+                # (DESIGN.md reconciliation).
+                if _snap_writer is None:
+                    _snap_writer = snap.AsyncSnapshotWriter()
+                _snap_writer.submit(latest, trainer, logger)
 
+    if _snap_writer is not None:
+        _snap_writer.join()
     if args.save_mesh:
         save_mesh_now(args.maxiter)
     if args.save_snapshot:

@@ -26,7 +26,21 @@ MIN_CONE_STEPSIZE = STEPSIZE
 MAX_CONE_STEPSIZE = STEPSIZE * (1 << (NERF_CASCADES - 1)) * NERF_STEPS / NERF_GRIDSIZE
 NERF_MIN_OPTICAL_THICKNESS = 0.1   # occupancy threshold (non-SDF_GRID build)
 TRANSMITTANCE_EPSILON = 1e-4       # ray termination (testbed_nerf.cu:1494)
-DEFAULT_CONE_ANGLE = 1.0 / 256.0   # testbed.h:717
+# Cone angle: testbed.h:717 declares 1/256, but the dataset-load path
+# ALWAYS overwrites it with `aabb_scale <= 1 ? 0 : 1/256`
+# (testbed_nerf.cu:3214, 3331) — and the RNb pipeline always runs
+# aabb_scale = 1, so the reference trains with cone 0: UNIFORM
+# dt = √3/1024 regardless of camera distance (~611 samples through the
+# cube). Rounds 1-4 of this rebuild trained at 1/256 (a parity bug: ~4×
+# coarser sampling at the composite scene's camera distance, geometric
+# far-side thinning); round 5 fixed the default to the reference rule.
+DEFAULT_CONE_ANGLE = 0.0
+CONE_ANGLE_AABB_GT1 = 1.0 / 256.0
+
+
+def cone_angle_for_aabb(aabb_scale: float) -> float:
+    """testbed_nerf.cu:3214: cone = 0 for aabb_scale ≤ 1, else 1/256."""
+    return 0.0 if aabb_scale <= 1.0 else CONE_ANGLE_AABB_GT1
 TARGET_BATCH_SIZE = 1 << 18        # samples per training step (testbed.cu:2858)
 MAX_RAYS_PER_BATCH = 1 << 18
 INITIAL_RAYS_PER_BATCH = 1 << 12   # testbed.h:908
@@ -539,4 +553,6 @@ class TestbedConfig:
             anneal_end=hyper.get("anneal_end", 0),
         )
         return TestbedConfig(grid=grid, network=network, optimizer=optimizer,
-                             loss=loss)
+                             loss=loss,
+                             march=MarchConfig(
+                                 cone_angle=cone_angle_for_aabb(aabb_scale)))

@@ -117,7 +117,12 @@ def march(ray_o: jnp.ndarray, ray_d: jnp.ndarray, bitfield: jnp.ndarray,
           u_start: jnp.ndarray, n_ladder: int, max_samples: int,
           cone_angle: float, aabb_scale: float = 1.0) -> MarchedRays:
     """Dense per-ray compaction: first M valid samples of each ray
-    (order-preserving top_k). Used by the inference renderer and tests."""
+    (order-preserving top_k). Used by the inference renderer and tests.
+
+    ray_d must be unit-norm (see effective_ladder_points); the same
+    bit-exact ladder trim as march_flat applies here — the per-ray top_k
+    compaction is unaffected by dropping always-masked tail points."""
+    n_ladder = effective_ladder_points(n_ladder, cone_angle, aabb_scale)
     max_samples = min(max_samples, n_ladder)
     t, dt, valid, n_valid, _ = _ladder_valid(ray_o, ray_d, bitfield, u_start,
                                              n_ladder, cone_angle, aabb_scale)
@@ -134,6 +139,12 @@ def effective_ladder_points(n_ladder: int, cone_angle: float,
     """Tight static bound on ladder points any ray can place inside the
     marched cube — points past the exit are masked (valid=False) and cost
     pure waste, so shrinking K to this bound is BIT-EXACT.
+
+    REQUIRES unit-norm ray directions (t-units == world units): the bound
+    assumes the cube chord is at most aabb_scale·√3 in t. A caller with
+    |ray_d| < 1 (e.g. a future scaling ray_transform) would silently lose
+    tail samples the full-K ladder covered. All current callers normalize
+    (geom.camera.rays_from_pixels); march/march_flat assert in debug mode.
 
     Worst case is entry at t=0 crossing the full diagonal s·√3:
     ceil(t_switch/dt_min) constant steps then geometric growth by
@@ -159,7 +170,9 @@ def march_flat(ray_o: jnp.ndarray, ray_d: jnp.ndarray, bitfield: jnp.ndarray,
                cone_angle: float, aabb_scale: float = 1.0) -> FlatSamples:
     """Global compaction into a fixed S-slot buffer with whole-ray drops on
     budget overflow — the TPU restatement of the reference's two-pass
-    count + atomicAdd compaction (testbed_nerf.cu:1332-1364)."""
+    count + atomicAdd compaction (testbed_nerf.cu:1332-1364).
+
+    ray_d must be unit-norm (see effective_ladder_points)."""
     R = ray_o.shape[0]
     K = n_ladder = effective_ladder_points(n_ladder, cone_angle, aabb_scale)
     t, dt, valid, n_valid, startt = _ladder_valid(

@@ -204,8 +204,44 @@ def composite_albedo(p: np.ndarray) -> np.ndarray:
     return np.clip(base, 0.05, 1.0).astype(np.float32)
 
 
-def render_composite_views(cams: Cameras, max_iters: int = 96):
-    """Sphere-traced analytic render → (normals_cam, albedo, alphas)."""
+def composite_norm(sphere_scale: float = 1.0):
+    """Reference-exact unit-sphere normalization of the composite scene.
+
+    Mirrors `rnb_neus2/scaling.py:9-34 compute_unit_sphere_scaling` (the
+    prep stage EVERY real scene passes before the testbed sees it):
+    centroid of the GT surface points, 99th-percentile outlier rejection,
+    re-centered mean, scale so the max distance = sphere_scale in RAW
+    coords. Returns (center (3,), k) in UNIT-cube terms: the normalized
+    scene is p_v2 = (p_v1 − center)·k + 0.5, with k = 0.5·sphere_scale /
+    max_dist — the GT surface fills the radius-0.5 ball of the unit cube,
+    like every scene the reference pipeline ever trains. The original
+    composite scene skipped this normalization (object radius ≈ 0.23,
+    half the world scale the reference operates at) — the round-4
+    missing-geometry dissection traced the reconstruction stall to that
+    out-of-envelope scaling (DESIGN.md round-5 chapter)."""
+    V, _ = composite_gt_mesh(96)
+    centroid = V.mean(0)
+    d = np.linalg.norm(V - centroid, axis=1)
+    inl = V[d <= np.percentile(d, 99)]
+    c = inl.mean(0)
+    max_dist = float(np.max(np.linalg.norm(inl - c, axis=1)))
+    return c.astype(np.float32), 0.5 * sphere_scale / max_dist
+
+
+def composite_sdf_v2(p: np.ndarray, norm) -> np.ndarray:
+    """SDF of the unit-sphere-normalized scene (exact under uniform
+    scaling: d_v2(p) = k·d_v1(center + (p−0.5)/k))."""
+    c, k = norm
+    return composite_sdf(c + (np.asarray(p, np.float32) - 0.5) / k) * k
+
+
+def render_composite_views(cams: Cameras, max_iters: int = 96,
+                           norm=None, t_max: float = None):
+    """Sphere-traced analytic render → (normals_cam, albedo, alphas).
+
+    norm=(center, k) renders the unit-sphere-normalized scene
+    (composite_norm); albedo is evaluated at the ORIGINAL scene point so
+    the texture is identical across scalings."""
     W, H = cams.resolution
     n_views = cams.rot_c2w.shape[0]
     rots = np.asarray(cams.rot_c2w)
@@ -215,6 +251,16 @@ def render_composite_views(cams: Cameras, max_iters: int = 96):
     u = (np.arange(W) + 0.5) / W
     v = (np.arange(H) + 0.5) / H
     uu, vv = np.meshgrid(u, v)
+    if t_max is None:
+        t_max = 3.0 if norm is None else float(
+            np.max(np.linalg.norm(origins - 0.5, axis=-1)) + 1.0)
+    if norm is None:
+        sdf_fn = composite_sdf
+        unmap = lambda p: p
+    else:
+        c, k = norm
+        sdf_fn = lambda p: composite_sdf_v2(p, norm)
+        unmap = lambda p: c + (p - 0.5) / k
 
     normals = np.zeros((n_views, H, W, 3), np.float32)
     albedo = np.zeros((n_views, H, W, 3), np.float32)
@@ -231,19 +277,20 @@ def render_composite_views(cams: Cameras, max_iters: int = 96):
         t = np.full((d.shape[0],), 0.05, np.float32)
         alive = np.ones_like(t, bool)
         for _ in range(max_iters):
-            s = composite_sdf(o + t[:, None] * d)
+            s = sdf_fn(o + t[:, None] * d)
             hit_now = s < 5e-5
             t = np.where(alive & ~hit_now, t + np.maximum(s, 1e-4), t)
-            alive &= t < 3.0
-        s = composite_sdf(o + t[:, None] * d)
-        hit = (s < 2e-3) & (t < 3.0)
+            alive &= t < t_max
+        s = sdf_fn(o + t[:, None] * d)
+        hit = (s < 2e-3) & (t < t_max)
         p = o + t[:, None] * d
-        n_world = composite_normal(p)
+        n_world = composite_normal(unmap(p))
         n_cam = np.einsum("nd,dk->nk", n_world, rots[i])
         normals[i] = np.where(hit[:, None], n_cam,
                               np.array([-1.0, 1.0, 1.0]) / np.sqrt(3.0)
                               ).reshape(H, W, 3)
-        albedo[i] = (composite_albedo(p) * hit[:, None]).reshape(H, W, 3)
+        albedo[i] = (composite_albedo(unmap(p)) * hit[:, None]
+                     ).reshape(H, W, 3)
         alphas[i] = hit.astype(np.float32).reshape(H, W)
     return normals, albedo, alphas
 
@@ -254,6 +301,41 @@ def composite_dataset(n_views: int = 20, width: int = 512, height: int = 612,
     cams = ring_cameras(n_views, cam_radius, width, height, focal)
     normals, albedo, alphas = render_composite_views(cams)
     return build_dataset(cams, normals, albedo, alphas, alphas, SceneMeta())
+
+
+# v2 camera defaults: ring radius ≈ the v1 cameras after the unit-sphere
+# scaling (1.6·k ≈ 3.4), focal chosen so the radius-0.5 object projects to
+# ~90% of the image half-width — the tight DiLiGenT-MV-style framing
+# (612×512 crops, object filling most of the frame) that the v1 scene's
+# 900-focal wide shot lacked (in-mask fraction 8% vs ~25-30% real).
+COMPOSITE_V2_CAM_RADIUS = 3.4
+COMPOSITE_V2_FOCAL = 1550.0
+
+
+def composite_dataset_v2(n_views: int = 20, width: int = 512,
+                         height: int = 612,
+                         cam_radius: float = COMPOSITE_V2_CAM_RADIUS,
+                         focal: float = COMPOSITE_V2_FOCAL,
+                         sphere_scale: float = 1.0) -> TrainingDataset:
+    """Unit-sphere-normalized composite scene (composite_norm): the
+    representative stand-in — world scale and framing statistics match
+    what the reference's prep (scaling.py) + DiLiGenT-style capture hand
+    the testbed."""
+    norm = composite_norm(sphere_scale)
+    cams = ring_cameras(n_views, cam_radius, width, height, focal)
+    normals, albedo, alphas = render_composite_views(cams, 128, norm)
+    return build_dataset(cams, normals, albedo, alphas, alphas, SceneMeta())
+
+
+def composite_gt_mesh_v2(resolution: int = 384, sphere_scale: float = 1.0):
+    """GT mesh of the normalized scene, unit-cube coords."""
+    from ..mesh.marching import marching_cubes_grid
+
+    norm = composite_norm(sphere_scale)
+    ax = np.linspace(0.0, 1.0, resolution + 1, dtype=np.float32)
+    X, Y, Z = np.meshgrid(ax, ax, ax, indexing="ij")
+    vol = composite_sdf_v2(np.stack([X, Y, Z], axis=-1), norm)
+    return marching_cubes_grid(-vol, (0.0, 0.0, 0.0), 1.0 / resolution, 0.0)
 
 
 def composite_gt_mesh(resolution: int = 384):
@@ -269,17 +351,28 @@ def composite_gt_mesh(resolution: int = 384):
 def write_prepared_composite_scene(out_dir, n_views: int = 20,
                                    width: int = 512, height: int = 612,
                                    cam_radius: float = 1.6,
-                                   focal: float = 900.0):
+                                   focal: float = 900.0,
+                                   normalized: bool = False,
+                                   sphere_scale: float = 1.0):
     """Materialize the composite scene as a prepared directory
     (transform.json + 16-bit RGBA normal/albedo PNGs), the exact input
-    contract of the reference's stage-1 testbed (SURVEY §2.1)."""
+    contract of the reference's stage-1 testbed (SURVEY §2.1).
+    normalized=True applies the reference-exact unit-sphere scaling +
+    v2 framing (composite_norm / composite_dataset_v2)."""
     import json
     import os
 
     from ..io import image_io
 
+    norm = None
+    if normalized:
+        norm = composite_norm(sphere_scale)
+        if cam_radius == 1.6:
+            cam_radius = COMPOSITE_V2_CAM_RADIUS
+        if focal == 900.0:
+            focal = COMPOSITE_V2_FOCAL
     cams = ring_cameras(n_views, cam_radius, width, height, focal)
-    normals, albedo, alphas = render_composite_views(cams)
+    normals, albedo, alphas = render_composite_views(cams, 128, norm)
     os.makedirs(os.path.join(out_dir, "normals"), exist_ok=True)
     os.makedirs(os.path.join(out_dir, "albedos"), exist_ok=True)
     frames = []

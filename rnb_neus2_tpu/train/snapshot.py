@@ -30,24 +30,26 @@ def _config_to_json(cfg) -> str:
     return json.dumps(dataclasses.asdict(cfg))
 
 
-def save_snapshot(path: str, trainer) -> None:
+def snapshot_payload(trainer) -> Dict[str, Any]:
+    """The snapshot payload with DEVICE arrays left in place (no host
+    sync). save_snapshot materializes it inline; AsyncSnapshotWriter
+    copies on-device first and materializes on a background thread."""
     occ = trainer.occ
     payload = {
         "version": np.int32(SNAPSHOT_VERSION),
         "step": np.int32(trainer.step),
         "n_rays": np.int32(trainer.n_rays),
         "config_json": _config_to_json(trainer.cfg),
-        # to_state_dict flattens tuples/NamedTuples into msgpack-able dicts
-        "params": serialization.to_state_dict(
-            jax.tree_util.tree_map(np.asarray, trainer.params)),
+        # to_state_dict flattens tuples/NamedTuples into msgpack-able
+        # dicts; the leaves stay DEVICE arrays here — _materialize pulls
+        # them to host (np.asarray) at serialization time
+        "params": serialization.to_state_dict(trainer.params),
         "ema_params": serialization.to_state_dict(
-            jax.tree_util.tree_map(np.asarray,
-                                   trainer.opt_state.ema_params)),
-        "adam_state": serialization.to_state_dict(
-            jax.tree_util.tree_map(np.asarray, trainer.opt_state.adam)),
-        "density_grid": np.asarray(occ.density).astype(np.float16),
-        "density_ema_step": np.asarray(occ.ema_step),
-        "rng_key": np.asarray(trainer.key),
+            trainer.opt_state.ema_params),
+        "adam_state": serialization.to_state_dict(trainer.opt_state.adam),
+        "density_grid": occ.density,
+        "density_ema_step": occ.ema_step,
+        "rng_key": trainer.key,
         # loss EMA rides along so a resumed run's divergence guard has a
         # warm reference immediately (a cold EMA accepted a blown first
         # sync once — runs/RUN_r3: EMA poisoned at 481876, every relative
@@ -86,8 +88,85 @@ def save_snapshot(path: str, trainer) -> None:
             if getattr(trainer, "_guard_ema_floor", None) is not None
             else np.nan),
     }
+    return payload
+
+
+def _materialize(payload: Dict[str, Any]) -> Dict[str, Any]:
+    """Pull every device leaf to host numpy (blocks until computed) and
+    apply the reference's fp16 density-grid storage (testbed.cu:3300)."""
+    out = jax.tree_util.tree_map(
+        lambda x: np.asarray(x) if isinstance(x, jax.Array) else x,
+        payload)
+    out["density_grid"] = np.asarray(out["density_grid"]).astype(np.float16)
+    return out
+
+
+def save_snapshot(path: str, trainer) -> None:
     with open(path, "wb") as f:
-        f.write(serialization.msgpack_serialize(payload))
+        f.write(serialization.msgpack_serialize(
+            _materialize(snapshot_payload(trainer))))
+
+
+class AsyncSnapshotWriter:
+    """Rolling-snapshot writer off the training critical path.
+
+    The synchronous rolling save cost ~200 ms device-pull + ~1 s
+    serialize/write of the ~215 MB state every 200 steps over the remote
+    transport (DESIGN.md production-vs-bench reconciliation). submit()
+    instead (a) copies the state ON-DEVICE (async dispatch, no host
+    sync — jnp.copy, the same trick as the divergence guard's
+    checkpoints; a plain reference could be invalidated by the next
+    step's buffer donation) and (b) hands the copies to a daemon thread
+    that pulls, serializes, and atomically rotates
+    latest.tmp → latest → latest.prev. At most one write is in flight:
+    a submit while busy is skipped (the next cadence boundary retries —
+    bounded memory beats a fresher generation on a slow disk).
+    """
+
+    def __init__(self):
+        import threading
+        self._threading = threading
+        self._thread = None
+
+    def busy(self) -> bool:
+        return self._thread is not None and self._thread.is_alive()
+
+    def join(self, timeout: float | None = None) -> None:
+        if self._thread is not None:
+            self._thread.join(timeout)
+
+    def submit(self, latest_path: str, trainer, logger=None) -> bool:
+        if self.busy():
+            if logger:
+                logger.info("rolling snapshot writer busy — skipping "
+                            "this generation")
+            return False
+        payload = snapshot_payload(trainer)
+        payload = jax.tree_util.tree_map(
+            lambda x: jnp.copy(x) if isinstance(x, jax.Array) else x,
+            payload)
+        self._thread = self._threading.Thread(
+            target=self._write, args=(latest_path, payload, logger),
+            daemon=True)
+        self._thread.start()
+        return True
+
+    @staticmethod
+    def _write(latest: str, payload: Dict[str, Any], logger=None) -> None:
+        import os
+        try:
+            blob = serialization.msgpack_serialize(_materialize(payload))
+            with open(latest + ".tmp", "wb") as f:
+                f.write(blob)
+            # rotate only after the new generation is fully on disk (the
+            # old inline order moved latest→prev BEFORE writing, so a
+            # failed write cost the newest good generation)
+            if os.path.exists(latest):
+                os.replace(latest, latest + ".prev")
+            os.replace(latest + ".tmp", latest)
+        except Exception as e:          # never kill the training loop
+            if logger:
+                logger.error(f"async rolling snapshot failed: {e}")
 
 
 def load_snapshot(path: str) -> Dict[str, Any]:
