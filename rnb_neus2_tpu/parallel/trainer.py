@@ -98,7 +98,9 @@ class ParallelTrainer(Trainer):
                 # reproduces the single-chip gradient (mesh.py docstring)
                 return training_loss(out, samples, batch, cfg.flags,
                                      cfg.loss, anneal,
-                                     n_rays_divisor=n_rays)
+                                     n_rays_divisor=n_rays,
+                                     ek_samples_divisor=(
+                                         cfg.train.target_batch_size))
 
             (loss, metrics), grads = jax.value_and_grad(
                 loss_fn, has_aux=True)(params)

@@ -6,15 +6,26 @@ re-walks every sample hand-deriving dL/d(16-wide network output) — ~700
 lines of manual calculus. Here the whole thing is a differentiable forward:
 
   total = ( Σ_rays color_loss + mask_w · Σ_rays mask_bce ) / n_rays
-          + ek_w · Σ_kept_samples (‖∇sdf‖ − 1)²
+          + ek_w · Σ_kept_samples (‖∇sdf‖ − 1)² / target_batch_size
 
 `jax.grad` of this reproduces the reference's gradients (including the
 second-order path through ∇sdf). Scaling notes, verified against the kernel:
 
 - color and mask terms are divided by n_rays (loss_scale = LOSS_SCALE/n_rays,
   :1833 — LOSS_SCALE cancels in the fp32 rebuild);
-- the eikonal term is NOT divided by n_rays and NOT averaged over samples
-  (rows 4-6 of dL/doutput use the undivided scale, :2039-2047);
+- the eikonal term is divided by the SAMPLE batch target, not n_rays: the
+  loss kernel writes the ek rows at the undivided scale (:2039-2047), but
+  the network backward routes slot-4 rows through
+  `add_positions_view_ekloss`, which divides by `indeed_batch_size`
+  (common_operation.cuh:283-296 `dst += pos / batch_size`;
+  testbed_nerf.cu:4063 sets it to target_batch_size = 2^18). Rounds 1-4
+  of this rebuild missed that kernel and summed the ek term undivided —
+  an eikonal term ~2^18× stiffer than the reference's, measured as THE
+  cause of the full-scale geometry freeze (the SDF could not deform
+  against the spring; all adaptation went into the variance scalar —
+  runs/r5_dissect/grad_forensics*.log: 200 same-batch Adam iterations
+  move sdf@0.30 by 0.006 with the sum, by 0.14 with the reference's
+  mean);
 - neither the gradient nor the logged loss is divided by the sampling pdf
   (the fork comments the upstream divide out, :1780-1790); the raw per-ray
   loss is what the error map splats (:1802-1831);
@@ -246,7 +257,8 @@ def mask_losses(weight_sum: jnp.ndarray, mask_gt: jnp.ndarray,
 def training_loss(field_out: Dict[str, jnp.ndarray], samples, batch: RayBatch,
                   flags: RenderFlags, cfg: LossConfig,
                   cos_anneal_ratio=1.0,
-                  n_rays_divisor: int | None = None
+                  n_rays_divisor: int | None = None,
+                  ek_samples_divisor: int | None = None
                   ) -> tuple[jnp.ndarray, Dict]:
     """Total differentiable loss for one globally-compacted batch.
 
@@ -387,11 +399,12 @@ def training_loss(field_out: Dict[str, jnp.ndarray], samples, batch: RayBatch,
     ek = jnp.sum(jnp.where(keep, (gnorm - 1.0) ** 2, 0.0))
 
     # n_rays_divisor lets a data-parallel shard normalize by the GLOBAL ray
-    # count so that psum of per-shard gradients equals the single-chip one
-    # (the eikonal term is a plain sum and needs no renormalization).
+    # count so that psum of per-shard gradients equals the single-chip one;
+    # ek_samples_divisor is the eikonal analog (GLOBAL sample-batch target).
     n_rays = jnp.asarray(n_rays_divisor or R, jnp.float32)
+    ek_div = jnp.asarray(ek_samples_divisor or S, jnp.float32)
     total = (jnp.sum(color) + cfg.mask_loss_weight * jnp.sum(mask)
-             ) / n_rays + cfg.ek_loss_weight * ek
+             ) / n_rays + cfg.ek_loss_weight * ek / ek_div
 
     n_kept = jnp.sum(keep)
     metrics = {

@@ -22,7 +22,7 @@ def test_api_surface(tmp_path):
         train=TrainConfig(target_batch_size=1 << 10,
                           initial_rays_per_batch=64, occ_grid_size=16,
                           max_steps=6),
-        march=MarchConfig(n_ladder=128))
+        march=MarchConfig(n_ladder=128, cone_angle=1.0 / 256.0))
     tb = ngp.Testbed(ngp.TestbedMode.Nerf, cfg)
     tb.load_training_data(str(scene))
     tb.set_max_iter(6)
@@ -66,7 +66,7 @@ def test_set_camera_intrinsics(tmp_path):
         train=TrainConfig(target_batch_size=1 << 10,
                           initial_rays_per_batch=64, occ_grid_size=16,
                           max_steps=2),
-        march=MarchConfig(n_ladder=128))
+        march=MarchConfig(n_ladder=128, cone_angle=1.0 / 256.0))
     tb = ngp.Testbed(ngp.TestbedMode.Nerf, cfg)
     tb.load_training_data(str(scene))
     # fx<=0 falls back to fy; negative cx/cy means already-normalized |c|

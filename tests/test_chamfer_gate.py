@@ -30,14 +30,19 @@ pytestmark = pytest.mark.slow  # ~6 min composite-scene training
 
 
 def test_absolute_chamfer_gate():
-    ds = composite_dataset(n_views=12, width=80, height=96)
+    # focal scales with width (900 is the 512-wide value): round 5 found
+    # the unscaled focal left the 80-px views covering only the central
+    # +/-0.07 of the world — completeness was pinned at ~0.14 by the
+    # viewing frustum, not by training quality
+    ds = composite_dataset(n_views=12, width=80, height=96,
+                           focal=900.0 * 80 / 512)
     cfg = TestbedConfig(
         grid=HashGridConfig(n_levels=8, top_resolution=256,
                             log2_hashmap_size=15),
         train=TrainConfig(target_batch_size=1 << 13,
                           initial_rays_per_batch=256,
                           occ_grid_size=64, seed=0),
-        march=MarchConfig(n_ladder=512),
+        march=MarchConfig(n_ladder=512, cone_angle=1.0 / 256.0),
     )
     tr = Trainer(ds, cfg)
     last = {}

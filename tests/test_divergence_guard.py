@@ -34,7 +34,7 @@ def trainer():
         train=TrainConfig(target_batch_size=1 << 9,
                           initial_rays_per_batch=64,
                           occ_grid_size=16, seed=0),
-        march=MarchConfig(n_ladder=64),
+        march=MarchConfig(n_ladder=64, cone_angle=1.0 / 256.0),
     )
     return Trainer(ds, cfg)
 

@@ -33,7 +33,7 @@ def sequence():
         train=TrainConfig(target_batch_size=1 << 13,
                           initial_rays_per_batch=128,
                           occ_grid_size=32, seed=0),
-        march=MarchConfig(n_ladder=512),
+        march=MarchConfig(n_ladder=512, cone_angle=1.0 / 256.0),
     )
     seq = FrameSequenceTrainer(
         frame_dataset((0.5, 0.5, 0.5)), cfg,

@@ -90,7 +90,7 @@ def test_trainer_integration_smoke():
         grid=HashGridConfig(n_levels=3, top_resolution=32),
         train=TrainConfig(target_batch_size=1 << 10,
                           initial_rays_per_batch=64, occ_grid_size=16),
-        march=MarchConfig(n_ladder=128))
+        march=MarchConfig(n_ladder=128, cone_angle=1.0 / 256.0))
     tr = Trainer(ds, cfg)
     tr._emap_interval = 5   # force a rebuild inside the smoke run
     for _ in range(12):

@@ -71,7 +71,7 @@ def test_training_loss_grads_match_in_range():
         train=TrainConfig(target_batch_size=1 << 11,
                           initial_rays_per_batch=128,
                           occ_grid_size=32, seed=0),
-        march=MarchConfig(n_ladder=256))
+        march=MarchConfig(n_ladder=256, cone_angle=1.0 / 256.0))
     tr = Trainer(ds, cfg)
     batch, samples, pos, _ = sample_ray_batch(
         ds, tr.occ.bitfield, jax.random.PRNGKey(3), 128,

@@ -152,7 +152,7 @@ def test_occ_refresh_level_cap():
             train=TrainConfig(target_batch_size=1 << 9,
                               initial_rays_per_batch=64, occ_grid_size=16,
                               seed=0, occ_refresh_levels=cap),
-            march=MarchConfig(n_ladder=64))
+            march=MarchConfig(n_ladder=64, cone_angle=1.0 / 256.0))
         return Trainer(ds, cfg)
 
     tr_full = make(None)

@@ -190,7 +190,7 @@ def test_render_scale_upsamples_to_full_resolution():
         grid=HashGridConfig(n_levels=3, top_resolution=32),
         train=TrainConfig(target_batch_size=1 << 10,
                           initial_rays_per_batch=64, occ_grid_size=16),
-        march=MarchConfig(n_ladder=64))
+        march=MarchConfig(n_ladder=64, cone_angle=1.0 / 256.0))
     ds = sphere_dataset(n_views=3, width=24, height=24, radius=0.3)
     tr = Trainer(ds, cfg)
     for _ in range(10):
@@ -227,7 +227,7 @@ def test_testbed_render_path_flythrough(tmp_path):
         train=TrainConfig(target_batch_size=1 << 10,
                           initial_rays_per_batch=64, occ_grid_size=16,
                           max_steps=4),
-        march=MarchConfig(n_ladder=64))
+        march=MarchConfig(n_ladder=64, cone_angle=1.0 / 256.0))
     tb = Testbed(TestbedMode.Nerf, cfg)
     tb.load_training_data(str(scene))
     while tb.frame():

@@ -75,7 +75,7 @@ def test_training_loss_value_unchanged_grads_reweighted():
         train=TrainConfig(target_batch_size=1 << 11,
                           initial_rays_per_batch=128,
                           occ_grid_size=32, seed=0),
-        march=MarchConfig(n_ladder=256))
+        march=MarchConfig(n_ladder=256, cone_angle=1.0 / 256.0))
     tr = Trainer(ds, cfg)
     # one real step populates the occupancy bitfield (empty at init →
     # zero marched samples); 16 rays × ≤256-sample ladders then

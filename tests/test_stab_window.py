@@ -53,7 +53,7 @@ def test_window_scales_updates_in_training():
                           initial_rays_per_batch=64,
                           occ_grid_size=16, seed=0,
                           stab_start=2, stab_end=4, stab_scale=0.1),
-        march=MarchConfig(n_ladder=64),
+        march=MarchConfig(n_ladder=64, cone_angle=1.0 / 256.0),
     )
     deltas = _param_deltas(base, 6)
     # Adam's update magnitude is ~lr·m/√v, so the final lr_scale multiplier

@@ -18,7 +18,7 @@ def trainer():
     cfg = TestbedConfig(
         train=TrainConfig(target_batch_size=1 << 10,
                           initial_rays_per_batch=64, occ_grid_size=16),
-        march=MarchConfig(n_ladder=64))
+        march=MarchConfig(n_ladder=64, cone_angle=1.0 / 256.0))
     ds = sphere_dataset(n_views=3, width=16, height=16, radius=0.25)
     tr = Trainer(ds, cfg)
     for _ in range(3):

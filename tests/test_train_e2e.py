@@ -30,7 +30,7 @@ def trained():
         train=TrainConfig(target_batch_size=1 << 13,
                           initial_rays_per_batch=128,
                           occ_grid_size=32, seed=0),
-        march=MarchConfig(n_ladder=512),
+        march=MarchConfig(n_ladder=512, cone_angle=1.0 / 256.0),
     )
     tr = Trainer(ds, cfg)
     first = [tr.train_step() for _ in range(10)]
@@ -112,7 +112,7 @@ def test_light_prng_divergence_within_noise():
                               initial_rays_per_batch=128,
                               occ_grid_size=32, seed=0,
                               light_prng_salt=salt),
-            march=MarchConfig(n_ladder=512),
+            march=MarchConfig(n_ladder=512, cone_angle=1.0 / 256.0),
         )
         tr = Trainer(ds, cfg)
         losses = [tr.train_step()["loss_color"] for _ in range(500)]
@@ -178,7 +178,7 @@ def test_stochastic_corner_bwd_convergence_ab(k):
             train=TrainConfig(target_batch_size=1 << 13,
                               initial_rays_per_batch=128,
                               occ_grid_size=32, seed=0),
-            march=MarchConfig(n_ladder=512),
+            march=MarchConfig(n_ladder=512, cone_angle=1.0 / 256.0),
         )
         tr = Trainer(ds, cfg)
         losses = [tr.train_step()["loss_color"] for _ in range(500)]
@@ -202,7 +202,7 @@ def test_fused_chunk_matches_per_step():
         ds = sphere_dataset(n_views=4, width=24, height=24, radius=RADIUS)
         cfg_kw = dict(
             grid=HashGridConfig(n_levels=4, top_resolution=64),
-            march=MarchConfig(n_ladder=256),
+            march=MarchConfig(n_ladder=256, cone_angle=1.0 / 256.0),
         )
         return ds, cfg_kw
 
@@ -265,7 +265,7 @@ def test_densified_levels_train_and_snapshot(tmp_path):
         train=TrainConfig(target_batch_size=1 << 11,
                           initial_rays_per_batch=64,
                           occ_grid_size=32, seed=0),
-        march=MarchConfig(n_ladder=256),
+        march=MarchConfig(n_ladder=256, cone_angle=1.0 / 256.0),
     )
     tr = Trainer(ds, cfg)
     for _ in range(3):

@@ -58,7 +58,8 @@ def main():
                                                  composite_gt_mesh)
     from rnb_neus2_tpu.train.trainer import Trainer
 
-    ds = composite_dataset(n_views=12, width=80, height=96)
+    ds = composite_dataset(n_views=12, width=80, height=96,
+                          focal=900.0 * 80 / 512)
     Vg, Fg = composite_gt_mesh(args.gt_res)
     Vg = (Vg - 0.5) / 0.5      # unit cube -> world (SceneMeta defaults)
 
