@@ -392,9 +392,18 @@ class TrainConfig:
     # testbed trains through the blow-up and eats the 0.237 Chamfer,
     # RUN_r2c train-through control); disable with stab_scale=1.0 or
     # --no-stab-window for reference-exact dynamics.
+    #
+    # Round 5: DEFAULT OFF (stab_scale 1.0, reference-exact dynamics).
+    # The window was a workaround for instabilities whose root causes
+    # are now fixed (r4: the RGB+ in-clamp jacobian subgradient; r5: the
+    # 2^18x-too-stiff eikonal divisor — DESIGN.md round-5 chapter). The
+    # instability lived exactly where an over-stiff eikonal fought the
+    # data terms; with the reference's normalization the full-scale runs
+    # train clean at lr 1e-3 like the CUDA testbed does
+    # (testbed.cu:2823-2838). Re-enable with --stab-window for forensics.
     stab_start: int = 1200
     stab_end: int = 2400
-    stab_scale: float = 0.1
+    stab_scale: float = 1.0
     # Adaptive rays/batch counter semantics: the reference rescales
     # rays_per_batch by target/measured where measured is the COMPACTED
     # (contributing, pre-termination) sample count

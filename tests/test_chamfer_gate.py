@@ -6,13 +6,13 @@ composite analytic scene at the reduced-but-hashed config of the
 standing CPU A/B protocol (tools/profiling/ab_stoch_chamfer_cpu.py) and
 gates on an ABSOLUTE Chamfer-L1 against the analytic GT surface.
 
-Calibration: the shipped default (K=1 stochastic backward) measured
-0.0839 world-units Chamfer-L1 at 900 steps on this exact protocol
-(runs/ab_stoch_chamfer_cpu_k1.json; exact backward 0.0908, K=2 0.0859).
-The gate is set at 0.15 — far above run-to-run noise, far below the
-0.237 a diverged full-scale run produced (runs/chamfer_r3_trainthrough
-.json), so it catches any regression of the "trains to a usable
-surface" kind while staying seed-robust.
+Calibration (round 5, post eikonal-divisor fix + cone=0 + scaled focal):
+this protocol measures Chamfer-L1 0.0152 / completeness 0.0094 at 900
+steps (runs/r5_dissect/ab_ekfix.jsonl, arm v1_ref). Gate at ~3x that.
+Historical context: rounds 1-4 measured 0.084-0.129 here with
+completeness pinned at 0.14-0.18 — the missing-geometry failure the
+round-5 root cause (DESIGN.md) eliminated; the old 0.15 threshold was
+calibrated to that broken level.
 """
 
 import numpy as np
@@ -42,7 +42,7 @@ def test_absolute_chamfer_gate():
         train=TrainConfig(target_batch_size=1 << 13,
                           initial_rays_per_batch=256,
                           occ_grid_size=64, seed=0),
-        march=MarchConfig(n_ladder=512, cone_angle=1.0 / 256.0),
+        march=MarchConfig(n_ladder=1024),   # production cone=0 default
     )
     tr = Trainer(ds, cfg)
     last = {}
@@ -55,6 +55,10 @@ def test_absolute_chamfer_gate():
     Vg, Fg = composite_gt_mesh(192)
     Vg = (Vg - 0.5) / 0.5
     ch = chamfer_distance(m["V"], m["F"], Vg, Fg)
-    assert ch["chamfer_l1"] < 0.15, ch
-    # completeness guards against "accurate but hollow" regressions
-    assert ch["completeness"] < 0.25, ch
+    # Round-5 recalibration (eikonal-divisor fix + cone=0 + scaled focal):
+    # this exact protocol measures chamfer_l1 0.0152 / completeness 0.0094
+    # (runs/r5_dissect/ab_ekfix.jsonl arm v1_ref). ~3x headroom.
+    assert ch["chamfer_l1"] < 0.05, ch
+    # completeness guards against "accurate but hollow" regressions — the
+    # rounds-1..4 failure pinned it at 0.14-0.18
+    assert ch["completeness"] < 0.04, ch

@@ -66,11 +66,17 @@ def test_fullscale_chamfer_gate():
     result, path = _load_latest()
     assert result["max_steps"] >= 10000, (path, result)
     assert result["mesh_vertices"] > 10000, (path, result)
-    # materially better than the 0.237 train-through control; the healthy
-    # short-run level is ~0.09 (VERDICT r3 "Done =" bar: <= 0.10 target,
-    # 0.15 hard gate)
-    assert result["chamfer_l1"] < 0.15, (path, result)
-    assert result["completeness"] < 0.25, (path, result)
+    # Round-5 recalibration: with the eikonal-divisor root-cause fix the
+    # full 10k pipeline measures Chamfer-L1 0.0105, completeness 0.0018,
+    # accuracy 0.019 (runs/composite_scene/output/chamfer.json, r5 run;
+    # silhouette IoU 0.992). Thresholds at ~4x the measured level so the
+    # gate catches any regression of the round-1..4 class (completeness
+    # was pinned at 0.14-0.18 for four rounds) while staying seed-robust.
+    assert result["chamfer_l1"] < 0.05, (path, result)
+    assert result["completeness"] < 0.02, (path, result)
+    # the missing-geometry signature: completeness >> accuracy. A healthy
+    # full-surface run has completeness BELOW accuracy; 2x is the alarm.
+    assert result["completeness"] <= 2.0 * result["accuracy"], (path, result)
 
 
 def test_fullscale_stage2_not_worse():

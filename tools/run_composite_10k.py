@@ -27,6 +27,11 @@ log = logging.getLogger("run10k")
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--scene", default="/root/repo/runs/composite_scene")
+    ap.add_argument("--gt", choices=["v1", "v2"], default="v1",
+                    help="analytic GT to score against: v1 = the original "
+                         "composite scene, v2 = the unit-sphere-normalized "
+                         "one (testing.synthetic.composite_norm — pair "
+                         "with --scene runs/composite_scene_v2)")
     ap.add_argument("--max-steps", type=int, default=10000)
     ap.add_argument("--resolution", type=int, default=512)
     ap.add_argument("--gt-resolution", type=int, default=384)
@@ -38,7 +43,10 @@ def main():
     from rnb_neus2_tpu.cli import pipeline
     from rnb_neus2_tpu.mesh.metrics import chamfer_distance
     from rnb_neus2_tpu.mesh.writer import load_obj
-    from rnb_neus2_tpu.testing.synthetic import composite_gt_mesh
+    from rnb_neus2_tpu.testing.synthetic import (composite_gt_mesh,
+                                                 composite_gt_mesh_v2)
+    if args.gt == "v2":
+        composite_gt_mesh = composite_gt_mesh_v2
 
     common = ["--snapshot-each", "200"]
     if args.stoch_corner_bwd is not None:
