@@ -165,16 +165,67 @@ def effective_ladder_points(n_ladder: int, cone_angle: float,
     return min(n_ladder, max(need + 8, 1))   # +8 jitter/rounding margin
 
 
+_BLOCK = 8          # fine ladder points per coarse block (blocked path)
+
+
+def _coarse_dilated(bitfield: jnp.ndarray, grid_size: int):
+    """Pool the fine bitfield to ~64³ and dilate by one coarse cell
+    (3³ any-pool): a CONSERVATIVE coarse occupancy — any fine-occupied
+    cell flags its coarse cell and all neighbors, so a probe within one
+    coarse cell (0.0156 world > the 0.007 block half-span) of any
+    occupied fine cell always reads True. 64³ over 32³ halves the
+    dilation inflation (the flagged shell is 3 coarse cells thick), so
+    fewer blocks pass to the fine phase. Returns (coarse_flat, cgrid)."""
+    g = grid_size
+    f = max(1, g // 64)
+    cg = g // f
+    b3 = bitfield.reshape(cg, f, cg, f, cg, f).any(axis=(1, 3, 5))
+    p = jnp.pad(b3, 1, mode="constant", constant_values=False)
+    dil = jnp.zeros_like(b3)
+    for dx in (0, 1, 2):
+        for dy in (0, 1, 2):
+            for dz in (0, 1, 2):
+                dil = dil | p[dx:dx + cg, dy:dy + cg, dz:dz + cg]
+    # flat layout: reshaping x + G(y + Gz) C-order gives axes (z, y, x),
+    # whose C-order flatten is already x + cg(y + cg z) — no transpose
+    return dil.reshape(-1), cg
+
+
+def _blocked_nb(R: int, n_blocks: int) -> int:
+    """Static per-R-bucket block budget: full coverage (exact) up to
+    R=8192; above that, each ray keeps its FIRST NB coarse-occupied
+    blocks (ladder-tail truncation at ≥ NB·8 occupied-region points —
+    the same spirit as the reference's NERF_STEPS cap; at the steady
+    state this bound is ~2-20× above the per-ray occupied count)."""
+    return min(n_blocks, max(32, (1 << 20) // max(R, 1)))
+
+
 def march_flat(ray_o: jnp.ndarray, ray_d: jnp.ndarray, bitfield: jnp.ndarray,
                u_start: jnp.ndarray, n_ladder: int, n_slots: int,
-               cone_angle: float, aabb_scale: float = 1.0) -> FlatSamples:
+               cone_angle: float, aabb_scale: float = 1.0,
+               blocked: bool | None = None) -> FlatSamples:
     """Global compaction into a fixed S-slot buffer with whole-ray drops on
     budget overflow — the TPU restatement of the reference's two-pass
     count + atomicAdd compaction (testbed_nerf.cu:1332-1364).
 
-    ray_d must be unit-norm (see effective_ladder_points)."""
+    ray_d must be unit-norm (see effective_ladder_points).
+
+    blocked=None auto-selects the two-phase coarse-block path for the
+    production regime (cone 0, single cascade): the (R·K) per-point
+    occupancy gather is the training step's single biggest cost at the
+    steady state (measured 272 of 334 ms march / 549 ms step at
+    R=32768, K=1024 — runs/STEP_BUDGET_r5.log + march bisect), and the
+    coarse phase prunes ~90% of it. blocked=False forces the exact
+    single-phase ladder (the two are bitwise identical whenever
+    NB == K/8, i.e. R ≤ 8192 — tests/test_ray_march_flat.py)."""
     R = ray_o.shape[0]
     K = n_ladder = effective_ladder_points(n_ladder, cone_angle, aabb_scale)
+    if blocked is None:
+        blocked = (cone_angle == 0.0 and bitfield.ndim == 1
+                   and K % _BLOCK == 0 and K >= 64)
+    if blocked:
+        return _march_flat_blocked(ray_o, ray_d, bitfield, u_start, K,
+                                   n_slots, cone_angle, aabb_scale)
     t, dt, valid, n_valid, startt = _ladder_valid(
         ray_o, ray_d, bitfield, u_start, n_ladder, cone_angle, aabb_scale)
     cum = jnp.cumsum(n_valid)
@@ -216,6 +267,106 @@ def march_flat(ray_o: jnp.ndarray, ray_d: jnp.ndarray, bitfield: jnp.ndarray,
         lo = jnp.where(ge, lo, mid + 1)
         hi = jnp.where(ge, mid, hi)
     k_flat = lo
+    t_flat = jnp.where(valid_flat,
+                       ladder_t_at(startt[rid_c], k_flat, cone_angle), 0.0)
+    dt_flat = jnp.clip(t_flat * cone_angle, MIN_CONE_STEPSIZE,
+                       MAX_CONE_STEPSIZE)
+
+    return FlatSamples(
+        t=t_flat,
+        dt=dt_flat,
+        ray_id=rid_flat,
+        valid=valid_flat,
+        seg_start=offsets.astype(jnp.int32),
+        n_valid=n_valid,
+        ray_kept=ray_kept,
+    )
+
+
+def _march_flat_blocked(ray_o, ray_d, bitfield, u_start, K: int,
+                        n_slots: int, cone_angle: float,
+                        aabb_scale: float) -> FlatSamples:
+    """Two-phase march (cone=0 fast path; see march_flat docstring).
+
+    Phase A probes each ray's K/8 block MIDPOINTS against the dilated
+    coarse occupancy (_coarse_dilated — a proven superset: block
+    half-span 4·dt_min ≈ 0.007 < one coarse cell 0.031, so a block
+    containing ANY occupied fine point always flags). Phase B selects
+    each ray's first NB flagged blocks (order-preserving top_k) and
+    gathers fine occupancy only inside them: R·NB·8 rows instead of
+    R·K. The slot-side reconstruction is the exact single-phase
+    algorithm run on the compact (R, NB·8) lattice, with ladder indices
+    recovered through the block map."""
+    R = ray_o.shape[0]
+    B = _BLOCK
+    KB = K // B
+    NB = _blocked_nb(R, KB)
+    lo, hi = 0.5 - aabb_scale / 2.0, 0.5 + aabb_scale / 2.0
+    g = round(bitfield.shape[0] ** (1.0 / 3.0))
+    coarse, cg = _coarse_dilated(bitfield, g)
+
+    tmin, tmax = ray_aabb(ray_o, ray_d, lo, hi)
+    tmin = jnp.maximum(tmin, 0.0)
+    dt0 = jnp.clip(tmin * cone_angle, MIN_CONE_STEPSIZE, MAX_CONE_STEPSIZE)
+    startt = tmin + dt0 * u_start
+
+    # ---- phase A: block flags ------------------------------------------
+    kmid = (jnp.arange(KB, dtype=jnp.int32)[None, :] * B) + (B - 1) // 2
+    t_mid = ladder_t_at(startt[:, None], kmid, cone_angle)       # (R, KB)
+    pos_mid = ray_o[:, None, :] + t_mid[..., None] * ray_d[:, None, :]
+    margin = B * MIN_CONE_STEPSIZE
+    inside_sup = jnp.all((pos_mid >= lo - margin)
+                         & (pos_mid <= hi + margin), axis=-1)
+    inside_sup &= (tmax[:, None] > tmin[:, None])
+    cell = jnp.clip((pos_mid * cg).astype(jnp.int32), 0, cg - 1)
+    cidx = cell[..., 0] + cg * (cell[..., 1] + cg * cell[..., 2])
+    flags = inside_sup & coarse[cidx]                            # (R, KB)
+
+    # ---- phase B: first NB flagged blocks, fine occupancy ---------------
+    bids = jnp.arange(KB, dtype=jnp.int32)[None, :]
+    key = jnp.where(flags, -bids, -(KB + bids))
+    _, sel = jax.lax.top_k(key, NB)                              # (R, NB)
+    sel_on = jnp.take_along_axis(flags, sel, axis=1)             # (R, NB)
+    kf = sel[..., None] * B + jnp.arange(B, dtype=jnp.int32)     # (R,NB,B)
+    t_f = ladder_t_at(startt[:, None, None], kf, cone_angle)
+    pos = ray_o[:, None, None, :] + t_f[..., None] * ray_d[:, None, None, :]
+    inside = jnp.all((pos >= lo) & (pos <= hi), axis=-1)
+    occ = occupancy.lookup(bitfield, pos)
+    valid = inside & occ & sel_on[..., None]                     # (R,NB,B)
+
+    n_valid = jnp.sum(valid, axis=(1, 2))
+    cum = jnp.cumsum(n_valid)
+    ray_kept = cum <= n_slots
+    counts = jnp.where(ray_kept, n_valid, 0)
+    offsets = jnp.cumsum(counts) - counts
+
+    total = jnp.sum(counts)
+    slot_ids = jnp.arange(n_slots, dtype=jnp.int32)
+    valid_flat = slot_ids < total
+
+    ray_ids = jnp.arange(R, dtype=jnp.int32)
+    seg_write = ray_kept & (n_valid > 0)
+    starts = jnp.zeros((n_slots + 1,), jnp.int32) \
+        .at[jnp.where(seg_write, offsets, n_slots)].max(ray_ids)[:n_slots]
+    rid_flat = jnp.where(valid_flat, jax.lax.cummax(starts), jnp.int32(R))
+
+    C = NB * B                        # compact per-ray lattice width
+    rank1 = jnp.cumsum(valid.reshape(R, C).astype(jnp.int32),
+                       axis=1).reshape(-1)                       # (R·C,)
+    rid_c = jnp.minimum(rid_flat, R - 1)
+    j1 = slot_ids - offsets[rid_c] + 1
+    blo = jnp.zeros((n_slots,), jnp.int32)
+    bhi = jnp.full((n_slots,), C - 1, jnp.int32)
+    base = rid_c * C
+    for _ in range(max(1, (C - 1).bit_length())):
+        mid = (blo + bhi) >> 1
+        ge = rank1[base + mid] >= j1
+        blo = jnp.where(ge, blo, mid + 1)
+        bhi = jnp.where(ge, mid, bhi)
+    j_flat = blo                      # compact-lattice index
+    # ladder index through the block map: sel[rid, j//B]*B + j%B
+    sel_flat = sel.reshape(-1)[rid_c * NB + (j_flat // B)]
+    k_flat = sel_flat * B + (j_flat % B)
     t_flat = jnp.where(valid_flat,
                        ladder_t_at(startt[rid_c], k_flat, cone_angle), 0.0)
     dt_flat = jnp.clip(t_flat * cone_angle, MIN_CONE_STEPSIZE,
